@@ -1,0 +1,147 @@
+"""UPFlow network building blocks as Flax linen modules (NHWC).
+
+Re-designs of the reference torch blocks
+(/root/reference/model/pwc_modules.py):
+
+- ``ConvBlock``           <- ``conv()`` factory (pwc_modules.py:10-49)
+- ``FeatureExtractor``    <- (pwc_modules.py:122-142)
+- ``FlowEstimatorDense``  <- ``FlowEstimatorDense_v2`` (pwc_modules.py:250-286)
+  and ``FlowEstimatorDense_temp`` inside the SGU (upflow.py:24-60)
+- ``ContextNetwork``      <- ``ContextNetwork_v2_`` (pwc_modules.py:396-412)
+- ``SGUModel``            <- ``network_tools.sgu_model`` (upflow.py:20-92)
+
+All convs: bias=True, LeakyReLU(0.1) unless ``relu=False``, SAME-style
+explicit padding ``((k-1)*d)//2``, Kaiming-normal (MSRA, fan_in) init
+matching ``initialize_msra`` (pwc_modules.py:52-63).  Params are stored
+HWIO; the checkpoint importer transposes torch OIHW weights into this
+layout.
+
+TPU notes: channel counts in this net (32..196) are narrower than one MXU
+tile, so the convs compile to MXU matmuls over im2col'd patches; NHWC is
+the layout XLA:TPU prefers.  The optional ``dtype`` argument runs conv
+arithmetic in bfloat16 while keeping fp32 params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# Kaiming-normal (fan_in, leaky_relu gain as torch's default a=0) matching
+# torch.nn.init.kaiming_normal_ defaults: std = sqrt(2 / fan_in).
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+class ConvBlock(nn.Module):
+    """3x3-by-default conv + optional LeakyReLU(0.1)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = ((self.kernel_size - 1) * self.dilation) // 2
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=True,
+            kernel_init=_kaiming,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.relu:
+            x = nn.leaky_relu(x, negative_slope=0.1)
+        return x
+
+
+class FeatureExtractor(nn.Module):
+    """6-level pyramid encoder; returns features COARSEST-FIRST
+    (pwc_modules.py:136-142). Channels (3,)16,32,64,96,128,196."""
+
+    num_chs: Sequence[int] = (3, 16, 32, 64, 96, 128, 196)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pyramid = []
+        for level, ch_out in enumerate(self.num_chs[1:]):
+            x = ConvBlock(ch_out, stride=2, dtype=self.dtype,
+                          name=f"level{level}_conv0")(x)
+            x = ConvBlock(ch_out, stride=1, dtype=self.dtype,
+                          name=f"level{level}_conv1")(x)
+            pyramid.append(x)
+        return pyramid[::-1]
+
+
+class FlowEstimatorDense(nn.Module):
+    """DenseNet-style estimator: 5 convs with concat-skips (new features
+    concatenated BEFORE the running input, matching torch
+    ``cat([conv(x), x])``), plus a linear head."""
+
+    f_channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
+    out_channels: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.f_channels):
+            y = ConvBlock(f, dtype=self.dtype, name=f"conv{i + 1}")(x)
+            x = jnp.concatenate([y, x], axis=-1)
+        out = ConvBlock(self.out_channels, relu=False, dtype=self.dtype,
+                        name="conv_last")(x)
+        return x, out
+
+
+class ContextNetwork(nn.Module):
+    """7 convs with dilations (1,2,4,8,16,1,1) (pwc_modules.py:396-412)."""
+
+    f_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32, 2)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dilations = (1, 2, 4, 8, 16, 1, 1)
+        for i, (f, d) in enumerate(zip(self.f_channels, dilations)):
+            last = i == len(self.f_channels) - 1
+            x = ConvBlock(f, dilation=d, relu=not last, dtype=self.dtype,
+                          name=f"conv{i}")(x)
+        return x
+
+
+class SGUDenseEstimator(nn.Module):
+    """``FlowEstimatorDense_temp`` (upflow.py:24-60): ch_in=64,
+    f_channels=(32,32,32,16,8), 3-channel head (inter_flow + mask logit)."""
+
+    f_channels: Tuple[int, ...] = (32, 32, 32, 16, 8)
+    out_channels: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return FlowEstimatorDense(self.f_channels, self.out_channels,
+                                  dtype=self.dtype, name="dense")(x)
+
+
+class SGUOutputConv(nn.Module):
+    """``upsample_output_conv`` (upflow.py:66-69): raw RGB -> 1/4-res 32ch."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBlock(16, kernel_size=3, stride=1, dtype=self.dtype, name="conv0")(x)
+        x = ConvBlock(16, stride=2, dtype=self.dtype, name="conv1")(x)
+        x = ConvBlock(32, kernel_size=3, stride=1, dtype=self.dtype, name="conv2")(x)
+        x = ConvBlock(32, stride=2, dtype=self.dtype, name="conv3")(x)
+        return x
