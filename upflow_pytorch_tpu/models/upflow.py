@@ -1,0 +1,393 @@
+"""The UPFlow network, TPU-native.
+
+Re-design of ``UPFlow_net`` (/root/reference/model/upflow.py:291-641) as a
+Flax linen module (NHWC) plus pure functional forward/loss wrappers.
+
+Structure of the forward pass (reference call stack at upflow.py:494-573):
+
+- 6-level feature pyramid encoder, coarsest-first; decoding runs on levels
+  0..output_level(=4), i.e. 1/64 .. 1/4 resolution.
+- Per level (SHARED estimator/context weights, per-level 1x1 skip convs):
+  rate-scaled x2 flow upsample -> optional SGU refinement -> bidirectional
+  masked feature warping -> optional feature normalization -> 81-channel
+  cost-volume correlation (+LeakyReLU) -> dense flow estimator -> dilated
+  context network; the flow residual accumulates over both heads.
+- Final flow upsampled to full resolution with rate scaling; optionally the
+  SGU module replaces the bilinear upsample using 1/4-res features computed
+  from the raw images (upflow.py:526-530).
+
+The per-level loop is Python-unrolled (5 iterations over ragged shapes), as
+in the reference; under ``jit`` it traces once into a single XLA program.
+
+Losses (training) are assembled by ``forward_with_loss`` following
+upflow.py:394-491: edge-aware smoothness, (boundary-dilated) photometric,
+census, and multi-scale pyramid distillation, with analytic occlusion masks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from upflow_pytorch_tpu.config import UPFlowConfig
+from upflow_pytorch_tpu.losses.census import census_loss
+from upflow_pytorch_tpu.losses.photometric import photo_loss_multi_type
+from upflow_pytorch_tpu.losses.smoothness import (
+    edge_aware_smoothness_order1,
+    edge_aware_smoothness_order2,
+    flow_smooth_delta,
+)
+from upflow_pytorch_tpu.models.blocks import (
+    ConvBlock,
+    ContextNetwork,
+    FeatureExtractor,
+    FlowEstimatorDense,
+    SGUDenseEstimator,
+    SGUOutputConv,
+)
+from upflow_pytorch_tpu.models.occlusion import occ_check
+from upflow_pytorch_tpu.ops.correlation import correlation
+from upflow_pytorch_tpu.ops.normalize import normalize_features
+from upflow_pytorch_tpu.ops.resize import (
+    downsample_area,
+    upsample2d_as,
+    upsample2d_flow_as,
+    upsample_flow,
+)
+from upflow_pytorch_tpu.ops.warp import (
+    boundary_dilated_warp,
+    flow_warp,
+    flow_warp_masked,
+)
+
+
+class UPFlowNet(nn.Module):
+    """Bidirectional PWC-style pyramid flow network with SGU upsampling."""
+
+    conf: UPFlowConfig = UPFlowConfig()
+
+    def setup(self):
+        c = self.conf
+        dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        self._dtype = dtype
+        self.feature_pyramid_extractor = FeatureExtractor(c.num_chs, dtype=dtype)
+        self.flow_estimators = FlowEstimatorDense(
+            c.estimator_f_channels, out_channels=2, dtype=dtype)
+        self.context_networks = ContextNetwork(c.context_f_channels, dtype=dtype)
+        # per-level 1x1 skip convs: 196/128/96/64/32 -> 32 (upflow.py:349-353)
+        self.conv_1x1 = [
+            ConvBlock(32, kernel_size=1, dtype=dtype, name=f"conv_1x1_{i}")
+            for i in range(c.output_level + 1)
+        ]
+        if c.if_sgu_upsample:
+            self.sgu_dense_estimator = SGUDenseEstimator(dtype=dtype)
+            self.sgu_output_conv = SGUOutputConv(dtype=dtype)
+
+    # --- SGU ---------------------------------------------------------------
+    def _self_guided_upsample(self, flow_init, feature_1, feature_2,
+                              output_level_flow=None):
+        """``sgu_model.forward`` (upflow.py:71-89); returns the refined flow."""
+        fh, fw = feature_1.shape[1:3]
+        if flow_init.shape[1:3] != (fh, fw):
+            flow_init = upsample2d_flow_as(flow_init, (fh, fw), if_rate=True)
+        feature_2_warp = flow_warp_masked(feature_2, flow_init)
+        x = jnp.concatenate([feature_1, feature_2_warp], axis=-1)
+        _, x_out = self.sgu_dense_estimator(x)
+        x_out = x_out.astype(jnp.float32)
+        inter_flow = x_out[..., :2]
+        inter_mask = jax.nn.sigmoid(x_out[..., 2:3])
+        if output_level_flow is not None:
+            oh, ow = output_level_flow.shape[1:3]
+            inter_flow = upsample2d_flow_as(inter_flow, (oh, ow), if_rate=True)
+            inter_mask = upsample2d_as(inter_mask, (oh, ow))
+            flow_init = output_level_flow
+        flow_up = (flow_warp(flow_init, inter_flow) * (1 - inter_mask)
+                   + flow_init * inter_mask)
+        return flow_up
+
+    # --- one decoder level ---------------------------------------------------
+    def _decode_level(self, level, flow_1, flow_2, feature_1, feature_1_1x1,
+                      feature_2, feature_2_1x1):
+        """``decode_level_res`` (upflow.py:535-573).
+
+        Returns (flow_1_up, flow_2_up, res_1, res_2)."""
+        c = self.conf
+        hw = feature_1.shape[1:3]
+        flow_1_up = upsample2d_flow_as(flow_1, hw, if_rate=True)
+        flow_2_up = upsample2d_flow_as(flow_2, hw, if_rate=True)
+        if level == 0:
+            feature_2_warp = feature_2
+            feature_1_warp = feature_1
+        else:
+            if c.if_sgu_upsample:
+                flow_1_up = self._self_guided_upsample(
+                    flow_1_up, feature_1_1x1, feature_2_1x1)
+                flow_2_up = self._self_guided_upsample(
+                    flow_2_up, feature_2_1x1, feature_1_1x1)
+            feature_2_warp = flow_warp_masked(feature_2, flow_1_up)
+            feature_1_warp = flow_warp_masked(feature_1, flow_2_up)
+        if c.if_norm_before_cost_volume:
+            feature_1, feature_2_warp = normalize_features(
+                (feature_1, feature_2_warp), normalize=True, center=True,
+                moments_across_channels=c.norm_moments_across_channels,
+                moments_across_images=c.norm_moments_across_images)
+            feature_2, feature_1_warp = normalize_features(
+                (feature_2, feature_1_warp), normalize=True, center=True,
+                moments_across_channels=c.norm_moments_across_channels,
+                moments_across_images=c.norm_moments_across_images)
+        use_pallas = not c.if_use_cor_pytorch
+        corr_1 = correlation(feature_1, feature_2_warp, c.search_range,
+                             use_pallas=use_pallas)
+        corr_2 = correlation(feature_2, feature_1_warp, c.search_range,
+                             use_pallas=use_pallas)
+        corr_1 = nn.leaky_relu(corr_1, negative_slope=0.1).astype(self._dtype)
+        corr_2 = nn.leaky_relu(corr_2, negative_slope=0.1).astype(self._dtype)
+
+        feat_1, res_1 = self.flow_estimators(
+            jnp.concatenate([corr_1, feature_1_1x1,
+                             flow_1_up.astype(self._dtype)], axis=-1))
+        feat_2, res_2 = self.flow_estimators(
+            jnp.concatenate([corr_2, feature_2_1x1,
+                             flow_2_up.astype(self._dtype)], axis=-1))
+        res_1 = res_1.astype(jnp.float32)
+        res_2 = res_2.astype(jnp.float32)
+        fine_1 = self.context_networks(
+            jnp.concatenate([feat_1, (flow_1_up + res_1).astype(self._dtype)],
+                            axis=-1)).astype(jnp.float32)
+        fine_2 = self.context_networks(
+            jnp.concatenate([feat_2, (flow_2_up + res_2).astype(self._dtype)],
+                            axis=-1)).astype(jnp.float32)
+        return flow_1_up, flow_2_up, res_1 + fine_1, res_2 + fine_2
+
+    # --- full bidirectional forward ------------------------------------------
+    def __call__(self, im1: jax.Array, im2: jax.Array):
+        """``forward_2_frame_v3`` (upflow.py:494-533).
+
+        im1, im2: (B, H, W, 3).  Returns (flow_f_out, flow_b_out, flows)
+        where flows is the per-level [(flow_f, flow_b)] list FINEST-FIRST
+        (the reference reverses before returning, upflow.py:533).
+        """
+        c = self.conf
+        b, height, width, _ = im1.shape
+        x1_pyramid = self.feature_pyramid_extractor(im1.astype(self._dtype))
+        x2_pyramid = self.feature_pyramid_extractor(im2.astype(self._dtype))
+
+        h0, w0 = x1_pyramid[0].shape[1:3]
+        flow_f = jnp.zeros((b, h0, w0, 2), jnp.float32)
+        flow_b = jnp.zeros((b, h0, w0, 2), jnp.float32)
+
+        flows: List[Tuple[jax.Array, jax.Array]] = []
+        for level in range(c.output_level + 1):
+            x1 = x1_pyramid[level]
+            x2 = x2_pyramid[level]
+            x1_1by1 = self.conv_1x1[level](x1)
+            x2_1by1 = self.conv_1x1[level](x2)
+            flow_f_up, flow_b_up, res_f, res_b = self._decode_level(
+                level, flow_f, flow_b, x1, x1_1by1, x2, x2_1by1)
+            flow_f = flow_f_up + res_f
+            flow_b = flow_b_up + res_b
+            flows.append((flow_f, flow_b))
+
+        flow_f_out = upsample2d_flow_as(flow_f, (height, width), if_rate=True)
+        flow_b_out = upsample2d_flow_as(flow_b, (height, width), if_rate=True)
+
+        if c.if_sgu_upsample:
+            feature_1_1x1 = self.sgu_output_conv(im1.astype(self._dtype))
+            feature_2_1x1 = self.sgu_output_conv(im2.astype(self._dtype))
+            flow_f_out = self._self_guided_upsample(
+                flow_f, feature_1_1x1, feature_2_1x1,
+                output_level_flow=flow_f_out)
+            flow_b_out = self._self_guided_upsample(
+                flow_b, feature_2_1x1, feature_1_1x1,
+                output_level_flow=flow_b_out)
+        return flow_f_out, flow_b_out, flows[::-1]
+
+
+# =============================================================================
+# Functional wrappers
+# =============================================================================
+
+def build_model(conf: UPFlowConfig = UPFlowConfig()):
+    """Returns the linen module for ``conf``."""
+    return UPFlowNet(conf=conf)
+
+
+def init_params(conf: UPFlowConfig, rng: jax.Array,
+                input_hw: Tuple[int, int] = (64, 64)):
+    """Initialize parameters with MSRA/Kaiming conv init (pwc_modules.py:52-63)."""
+    model = build_model(conf)
+    h, w = input_hw
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    return model.init(rng, dummy, dummy)
+
+
+def forward(model: UPFlowNet, params, im1: jax.Array, im2: jax.Array
+            ) -> Dict[str, Any]:
+    """Inference forward (``UPFlow_net.forward`` with if_loss=False,
+    upflow.py:370-392): flows + analytic occlusion masks."""
+    conf = model.conf
+    flow_f, flow_b, flows = model.apply(params, im1, im2)
+    occ_fw, occ_bw = occ_check(flow_f, flow_b, conf.alpha_1, conf.alpha_2,
+                               conf.occ_check_obj_out_all, conf.occ_type)
+    return {
+        "flow_f_out": flow_f,
+        "flow_b_out": flow_b,
+        "occ_fw": occ_fw,
+        "occ_bw": occ_bw,
+        "flows": flows,
+    }
+
+
+def forward_with_loss(model: UPFlowNet, params, batch: Dict[str, jax.Array]
+                      ) -> Dict[str, Any]:
+    """Training forward + unsupervised losses (upflow.py:370-492).
+
+    batch keys: im1, im2 (cropped, NHWC), optionally im1_raw, im2_raw,
+    start (for boundary-dilated warping), im1_sp, im2_sp (special input).
+    Returns the reference's output_dict fields plus ``total_loss``.
+    """
+    conf = model.conf
+    im1_ori, im2_ori = batch["im1"], batch["im2"]
+    if conf.input_or_sp_input == 1:
+        im1, im2 = im1_ori, im2_ori
+    else:
+        im1, im2 = batch["im1_sp"], batch["im2_sp"]
+
+    flow_f, flow_b, flows = model.apply(params, im1, im2)
+    occ_fw, occ_bw = occ_check(flow_f, flow_b, conf.alpha_1, conf.alpha_2,
+                               conf.occ_check_obj_out_all, conf.occ_type)
+
+    out: Dict[str, Any] = {
+        "flow_f_out": flow_f,
+        "flow_b_out": flow_b,
+        "occ_fw": occ_fw,
+        "occ_bw": occ_bw,
+        "flows": flows,
+    }
+
+    # === smoothness loss (upflow.py:396-428)
+    if conf.smooth_level == "final":
+        s_flow_f, s_flow_b = flow_f, flow_b
+        s_im1, s_im2 = im1_ori, im2_ori
+    elif conf.smooth_level == "1/4":
+        s_flow_f, s_flow_b = flows[0]
+        hw = s_flow_f.shape[1:3]
+        s_im1 = downsample_area(im1_ori, hw)
+        s_im2 = downsample_area(im2_ori, hw)
+    else:
+        raise ValueError("wrong smooth level: %s" % conf.smooth_level)
+
+    smooth_loss = jnp.float32(0.0)
+    if conf.smooth_order_1_weight > 0:
+        if conf.smooth_type == "edge":
+            fn1 = edge_aware_smoothness_order1
+            smooth_loss = smooth_loss + conf.smooth_order_1_weight * (
+                fn1(s_im1, s_flow_f) + fn1(s_im2, s_flow_b))
+        elif conf.smooth_type == "delta":
+            smooth_loss = smooth_loss + conf.smooth_order_1_weight * (
+                flow_smooth_delta(s_flow_f) + flow_smooth_delta(s_flow_b))
+        else:
+            raise ValueError("wrong smooth_type: %s" % conf.smooth_type)
+    if conf.smooth_order_2_weight > 0:
+        if conf.smooth_type == "edge":
+            fn2 = edge_aware_smoothness_order2
+            smooth_loss = smooth_loss + conf.smooth_order_2_weight * (
+                fn2(s_im1, s_flow_f) + fn2(s_im2, s_flow_b))
+        elif conf.smooth_type == "delta":
+            smooth_loss = smooth_loss + conf.smooth_order_2_weight * (
+                flow_smooth_delta(s_flow_f, True) + flow_smooth_delta(s_flow_b, True))
+        else:
+            raise ValueError("wrong smooth_type: %s" % conf.smooth_type)
+    out["smooth_loss"] = smooth_loss
+
+    # === photometric loss (upflow.py:430-447)
+    if conf.if_use_boundary_warp:
+        im1_raw, im2_raw, start = batch["im1_raw"], batch["im2_raw"], batch["start"]
+        im1_warp = boundary_dilated_warp(im2_raw, flow_f, start)
+        im2_warp = boundary_dilated_warp(im1_raw, flow_b, start)
+    else:
+        im1_warp = flow_warp(im2_ori, flow_f)
+        im2_warp = flow_warp(im1_ori, flow_b)
+
+    occ_fw_l, occ_bw_l = occ_fw, occ_bw
+    if conf.stop_occ_gradient:
+        occ_fw_l = jax.lax.stop_gradient(occ_fw_l)
+        occ_bw_l = jax.lax.stop_gradient(occ_bw_l)
+
+    photo_loss = photo_loss_multi_type(
+        im1_ori, im1_warp, occ_fw_l, conf.photo_loss_type,
+        conf.photo_loss_delta, conf.photo_loss_use_occ)
+    photo_loss = photo_loss + photo_loss_multi_type(
+        im2_ori, im2_warp, occ_bw_l, conf.photo_loss_type,
+        conf.photo_loss_delta, conf.photo_loss_use_occ)
+    out["photo_loss"] = photo_loss
+    out["im1_warp"] = im1_warp
+    out["im2_warp"] = im2_warp
+
+    # === census loss (upflow.py:449-458)
+    if conf.photo_loss_census_weight > 0:
+        cen = (census_loss(im1_ori, im1_warp, occ_fw_l, q=conf.photo_loss_delta,
+                           charbonnier_or_abs_robust=False,
+                           if_use_occ=conf.photo_loss_use_occ)
+               + census_loss(im2_ori, im2_warp, occ_bw_l, q=conf.photo_loss_delta,
+                             charbonnier_or_abs_robust=False,
+                             if_use_occ=conf.photo_loss_use_occ))
+        census = conf.photo_loss_census_weight * cen
+    else:
+        census = None
+    out["census_loss"] = census
+
+    # === multi-scale distillation loss (upflow.py:460-491)
+    if conf.multi_scale_distillation_weight > 0:
+        flow_fw_label = jax.lax.stop_gradient(flow_f)
+        flow_bw_label = jax.lax.stop_gradient(flow_b)
+        msd = jnp.float32(0.0)
+        for scale_fw, scale_bw in flows:
+            if conf.multi_scale_distillation_style == "down":
+                hw = scale_fw.shape[1:3]
+                label_fw = upsample_flow(flow_fw_label, hw)
+                label_bw = upsample_flow(flow_bw_label, hw)
+                occ_s_fw = _nearest_resize(occ_fw, hw)
+                occ_s_bw = _nearest_resize(occ_bw, hw)
+                pred_fw, pred_bw = scale_fw, scale_bw
+            elif conf.multi_scale_distillation_style == "upup":
+                hw = flow_fw_label.shape[1:3]
+                pred_fw = upsample_flow(scale_fw, hw)
+                pred_bw = upsample_flow(scale_bw, hw)
+                label_fw, label_bw = flow_fw_label, flow_bw_label
+                occ_s_fw, occ_s_bw = occ_fw, occ_bw
+            else:
+                raise ValueError("wrong multi_scale_distillation_style: %s"
+                                 % conf.multi_scale_distillation_style)
+            msd = msd + photo_loss_multi_type(
+                pred_fw, label_fw, occ_s_fw, "abs_robust",
+                photo_loss_use_occ=conf.multi_scale_distillation_occ)
+            msd = msd + photo_loss_multi_type(
+                pred_bw, label_bw, occ_s_bw, "abs_robust",
+                photo_loss_use_occ=conf.multi_scale_distillation_occ)
+        msd_loss = conf.multi_scale_distillation_weight * msd
+    else:
+        msd_loss = None
+    out["msd_loss"] = msd_loss
+
+    total = photo_loss + smooth_loss
+    if census is not None:
+        total = total + census
+    if msd_loss is not None:
+        total = total + msd_loss
+    out["total_loss"] = total
+    return out
+
+
+def _nearest_resize(x: jax.Array, out_hw) -> jax.Array:
+    """Nearest-neighbor resize matching torch F.interpolate(mode='nearest')
+    (used for occ masks in 'down' distillation, upflow.py:468-470):
+    src = floor(dst * in/out)."""
+    b, h, w, c = x.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    iy = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)
+    return x[:, iy][:, :, ix]

@@ -1,0 +1,47 @@
+"""Device mesh construction and sharding helpers.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+over local GPUs (/root/reference/utils/tools.py:129-148).  The TPU-native
+replacement: a ``jax.sharding.Mesh`` with a ``data`` axis (batch sharding,
+gradients reduced by XLA collectives over ICI) and a reserved ``spatial``
+axis for future H/W sharding of very large frames.  Multi-host setups call
+``jax.distributed.initialize`` before building the mesh; XLA then routes
+ICI within a slice and DCN across slices automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, spatial: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a ('data', 'spatial') mesh; defaults to all devices on 'data'."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if data is None:
+        data = len(devices) // spatial
+    assert data * spatial <= len(devices), \
+        "mesh %dx%d needs more than %d devices" % (data, spatial, len(devices))
+    grid = np.array(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(grid, ("data", "spatial"))
+
+
+def batch_spec() -> P:
+    return P("data")
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict with leading batch dim sharded over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params / opt state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

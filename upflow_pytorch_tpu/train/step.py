@@ -1,0 +1,83 @@
+"""Functional training step.
+
+Optimizer matches the reference recipe (simple_train.py:121-122):
+Adam(lr=1e-4, amsgrad=True, weight_decay=1e-4) + per-epoch ExponentialLR.
+torch's Adam ``weight_decay`` is L2-to-gradient (not decoupled), i.e.
+``optax.add_decayed_weights`` chained BEFORE the Adam transform.
+
+The step is a pure function (params, opt_state, batch) -> (params,
+opt_state, metrics); jit it directly for single-chip or wrap with shard_map
+via ``upflow_pytorch_tpu.parallel`` for multi-chip data parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from upflow_pytorch_tpu.config import TrainerConfig, UPFlowConfig
+from upflow_pytorch_tpu.models.upflow import (
+    UPFlowNet,
+    build_model,
+    forward_with_loss,
+    init_params,
+)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(conf: TrainerConfig) -> optax.GradientTransformation:
+    lr = optax.exponential_decay(
+        init_value=conf.lr,
+        transition_steps=max(conf.batch_per_epoch, 1),
+        decay_rate=conf.scheduler_gamma,
+        staircase=True,
+    )
+    return optax.chain(
+        optax.add_decayed_weights(conf.weight_decay),
+        optax.amsgrad(learning_rate=lr),
+    )
+
+
+def create_train_state(model_conf: UPFlowConfig, trainer_conf: TrainerConfig,
+                       rng: jax.Array | None = None) -> Tuple[UPFlowNet, TrainState, optax.GradientTransformation]:
+    if rng is None:
+        rng = jax.random.PRNGKey(trainer_conf.seed)
+    model = build_model(model_conf)
+    params = init_params(model_conf, rng)
+    tx = make_optimizer(trainer_conf)
+    opt_state = tx.init(params)
+    return model, TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(model: UPFlowNet, tx: optax.GradientTransformation):
+    """Build the (un-jitted) train step; caller decides jit/shard_map."""
+
+    def loss_fn(params, batch):
+        out = forward_with_loss(model, params, batch)
+        metrics = {
+            "total_loss": out["total_loss"],
+            "photo_loss": out["photo_loss"],
+            "smooth_loss": out["smooth_loss"],
+        }
+        if out["census_loss"] is not None:
+            metrics["census_loss"] = out["census_loss"]
+        if out["msd_loss"] is not None:
+            metrics["msd_loss"] = out["msd_loss"]
+        return out["total_loss"], metrics
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
