@@ -33,6 +33,45 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+class _AmsgradState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+    nu_max: Any
+
+
+def scale_by_amsgrad_torch(b1: float = 0.9, b2: float = 0.999,
+                           eps: float = 1e-8) -> optax.GradientTransformation:
+    """torch-exact AMSGrad scaling.
+
+    optax.amsgrad bias-corrects nu BEFORE taking the running max; torch
+    maxes the RAW second moment and bias-corrects afterwards
+    (denom = sqrt(max_nu / (1 - b2^t)) + eps), which diverges slightly
+    over training.  This transform reproduces torch's order.
+    """
+
+    def init(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _AmsgradState(jnp.zeros((), jnp.int32), zeros(), zeros(), zeros())
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        nu_max = jax.tree_util.tree_map(jnp.maximum, state.nu_max, nu)
+        bc1 = 1 - b1 ** t
+        bc2 = 1 - b2 ** t
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu_max)
+        return out, _AmsgradState(count, mu, nu, nu_max)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(conf: TrainerConfig) -> optax.GradientTransformation:
     lr = optax.exponential_decay(
         init_value=conf.lr,
@@ -42,7 +81,8 @@ def make_optimizer(conf: TrainerConfig) -> optax.GradientTransformation:
     )
     return optax.chain(
         optax.add_decayed_weights(conf.weight_decay),
-        optax.amsgrad(learning_rate=lr),
+        scale_by_amsgrad_torch(),
+        optax.scale_by_learning_rate(lr),
     )
 
 

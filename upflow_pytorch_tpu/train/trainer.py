@@ -1,0 +1,166 @@
+"""Training harness.
+
+Re-design of ``Trainer`` + ``Loss_manager``
+(/root/reference/scripts/simple_train.py:23-201) around jitted functional
+steps: epoch loop with per-epoch LR schedule (built into the optax
+schedule), running loss meters, periodic KITTI evaluation, and Orbax
+checkpoint/resume (params + optimizer state + step + data cursor — the
+reference can neither checkpoint optimizer state nor resume,
+tools.py:109-127).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+
+from upflow_pytorch_tpu.config import TrainerConfig, UPFlowConfig
+from upflow_pytorch_tpu.data.pipeline import DataLoader
+from upflow_pytorch_tpu.eval.bench import AbsTestModel, EvaluationBench
+from upflow_pytorch_tpu.models.upflow import forward
+from upflow_pytorch_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from upflow_pytorch_tpu.parallel.step import (
+    make_sharded_eval_step,
+    make_sharded_train_step,
+)
+from upflow_pytorch_tpu.train.step import create_train_state
+from upflow_pytorch_tpu.utils.meters import AvgMeterGroup
+from upflow_pytorch_tpu.utils.timer import TimeClock
+
+_LOSS_SHORT_NAMES = {
+    "photo_loss": "ph",
+    "smooth_loss": "sm",
+    "census_loss": "cen",
+    "msd_loss": "msd",
+    "total_loss": "loss",
+}
+
+
+class NetEvalModel(AbsTestModel):
+    """Adapter exposing the jitted net to the EvaluationBench
+    (``Eval_model``, simple_train.py:56-79)."""
+
+    def __init__(self, model, params, jit_cache: Optional[dict] = None):
+        self.model = model
+        self.params = params
+        # KITTI eval images vary in size; cache one jitted fn per shape
+        self._cache: Dict[Any, Any] = jit_cache if jit_cache is not None else {}
+
+    def change_params(self, params):
+        self.params = params
+
+    def eval_forward(self, im1, im2, gt, *args):
+        key = im1.shape
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                lambda p, a, b: forward(self.model, p, a, b)["flow_f_out"])
+        return np.asarray(self._cache[key](self.params, im1, im2))
+
+    def eval_save_result(self, save_name, predflow, *args, **kwargs):
+        pass
+
+
+class Trainer:
+    def __init__(self, model_conf: UPFlowConfig, trainer_conf: TrainerConfig,
+                 train_dataset, eval_bench: Optional[EvaluationBench] = None,
+                 log_fn: Callable[[str], None] = print):
+        self.model_conf = model_conf
+        self.conf = trainer_conf
+        self.log = log_fn
+        os.makedirs(trainer_conf.exp_dir, exist_ok=True)
+
+        self.mesh = make_mesh(data=trainer_conf.data_axis)
+        self.model, self.state, self.tx = create_train_state(
+            model_conf, trainer_conf)
+        self.state = replicate(self.mesh, self.state)
+        self.train_step = make_sharded_train_step(self.model, self.tx, self.mesh)
+        self.eval_step = make_sharded_eval_step(self.model, self.mesh)
+
+        self.loader = DataLoader(
+            train_dataset, batch_size=trainer_conf.batchsize,
+            num_workers=trainer_conf.num_workers, shuffle=True,
+            drop_last=True, seed=trainer_conf.seed,
+            post_fn=lambda b: shard_batch(self.mesh, b))
+        self.eval_bench = eval_bench
+        self.meters = AvgMeterGroup()
+        self.best_metric = float("inf")
+
+    # --- checkpoint/resume -------------------------------------------------
+    @property
+    def ckpt_dir(self) -> str:
+        return os.path.join(self.conf.exp_dir, "ckpts")
+
+    def save(self, step: int):
+        from upflow_pytorch_tpu.checkpoint.orbax_io import save_checkpoint
+        payload = {"state": jax.device_get(self.state),
+                   "loader": self.loader.state()}
+        save_checkpoint(self.ckpt_dir, step, payload)
+
+    def try_resume(self) -> bool:
+        from upflow_pytorch_tpu.checkpoint.orbax_io import (
+            latest_step,
+            restore_checkpoint,
+        )
+        step = latest_step(self.ckpt_dir)
+        if step is None:
+            return False
+        payload = {"state": jax.device_get(self.state),
+                   "loader": self.loader.state()}
+        restored = restore_checkpoint(self.ckpt_dir, payload, step)
+        self.state = replicate(self.mesh, restored["state"])
+        self.loader.epoch = int(restored["loader"]["epoch"])
+        self.loader.position = int(restored["loader"]["position"])
+        self.log("resumed from step %d" % step)
+        return True
+
+    def load_pretrained(self, pth_path: str):
+        from upflow_pytorch_tpu.checkpoint.torch_import import (
+            load_pretrained_params,
+        )
+        params, report = load_pretrained_params(
+            pth_path, jax.device_get(self.state.params))
+        self.state = self.state._replace(params=replicate(self.mesh, params))
+        self.log("loaded %d keys from %s" % (len(report["loaded"]), pth_path))
+
+    # --- loops --------------------------------------------------------------
+    def train(self, total_steps: Optional[int] = None):
+        total = (total_steps if total_steps is not None
+                 else self.conf.n_epoch * self.conf.batch_per_epoch)
+        timer = TimeClock()
+        timer.start()
+        it = iter(self.loader)
+        start_step = int(jax.device_get(self.state.step))
+        for i in range(start_step, total):
+            batch = next(it)
+            self.state, metrics = self.train_step(self.state, batch)
+            metrics = jax.device_get(metrics)
+            for name, val in metrics.items():
+                self.meters.update(name, float(val),
+                                   self.conf.batchsize,
+                                   _LOSS_SHORT_NAMES.get(name))
+            step = i + 1
+            if step % self.conf.batch_per_print == 0:
+                self.log("step %d | %s" % (step, self.meters.print_all_losses()))
+            if step % self.conf.batch_per_epoch == 0:
+                timer.end()
+                self.log("=== epoch %d done in %.2fs"
+                         % (step // self.conf.batch_per_epoch,
+                            timer.get_during()))
+                self.evaluate_and_checkpoint(step)
+                self.meters.reset()
+                timer.start()
+        return self.state
+
+    def evaluate_and_checkpoint(self, step: int):
+        if self.eval_bench is not None:
+            em = NetEvalModel(self.model, self.state.params)
+            res = self.eval_bench(em)
+            self.log("eval @%d: EPE All=%.2f F1=%.2f Noc=%.2f Occ=%.2f"
+                     % (step, res.epe_all, res.f1, res.epe_noc, res.epe_occ))
+            if res.epe_all < self.best_metric:
+                self.best_metric = res.epe_all
+        self.save(step)
