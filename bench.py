@@ -55,7 +55,10 @@ def main():
     @jax.jit
     def fwd(params, im1, im2):
         flow_f, flow_b, _ = model.apply(params, im1, im2)
-        return flow_f, flow_b
+        # reduce to a scalar so each timed iteration ends with a real
+        # device->host transfer; through this environment's TPU relay,
+        # block_until_ready alone returns early and gives bogus timings.
+        return jnp.sum(flow_f) + jnp.sum(flow_b)
 
     rng = np.random.RandomState(0)
     im1 = jax.device_put(rng.rand(BATCH, HEIGHT, WIDTH, 3).astype(np.float32),
@@ -67,13 +70,11 @@ def main():
     steps = jnp.arange(WARMUP + ITERS, dtype=jnp.float32) * 1e-3
 
     for i in range(WARMUP):
-        jax.block_until_ready(fwd(params, im1 + steps[i], im2))
-    # block on every iteration: the remote-TPU relay used in this
-    # environment gives bogus (impossibly fast) timings for pipelined
-    # unblocked dispatch, so we measure conservative per-call latency.
+        float(fwd(params, im1 + steps[i], im2))
+    # each iteration materializes the scalar on the host (see fwd note)
     t0 = time.perf_counter()
     for i in range(ITERS):
-        jax.block_until_ready(fwd(params, im1 + steps[WARMUP + i], im2))
+        float(fwd(params, im1 + steps[WARMUP + i], im2))
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt

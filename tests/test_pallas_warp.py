@@ -1,0 +1,65 @@
+"""Pallas warp kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from upflow_pytorch_tpu.ops.warp import flow_warp, flow_warp_with_mask
+from upflow_pytorch_tpu.ops.pallas.warp import (
+    flow_warp_fast,
+    flow_warp_pallas_window,
+)
+
+RNG = np.random.RandomState(13)
+
+
+@pytest.mark.parametrize("shape,flow_scale", [
+    ((1, 16, 128, 2), 6.0),
+    ((2, 16, 256, 3), 15.0),
+    ((1, 24, 130, 2), 10.0),   # non-128-multiple width (padding path)
+    ((1, 18, 128, 1), 3.0),    # non-8-multiple height
+])
+def test_pallas_window_warp_matches_oracle(shape, flow_scale):
+    img = RNG.randn(*shape).astype(np.float32)
+    flow = (RNG.rand(shape[0], shape[1], shape[2], 2).astype(np.float32)
+            - 0.5) * flow_scale
+    ref = np.asarray(flow_warp(img, flow))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flow_warp_pallas_window(img, flow))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_window_warp_image_boundary_zeros():
+    """Flow pushing samples off the image must produce zeros (zero-pad)."""
+    img = np.ones((1, 16, 128, 2), np.float32)
+    flow = np.zeros((1, 16, 128, 2), np.float32)
+    flow[0, :, :, 1] = -10.0  # sample 10 rows above the image
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(flow_warp_pallas_window(img, flow))
+    assert out[0, :9].max() == 0.0  # rows sampling fully outside
+    ref = np.asarray(flow_warp(img, flow))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_flow_warp_fast_cond_fallback_for_large_flows():
+    img = RNG.randn(1, 16, 128, 2).astype(np.float32)
+    flow = np.full((1, 16, 128, 2), 200.0, np.float32)  # out of window
+    with pltpu.force_tpu_interpret_mode():
+        out, wsum = flow_warp_fast(img, flow)
+    ref = np.asarray(flow_warp(img, flow))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_flow_warp_fast_wsum_matches_mask_semantics():
+    img = RNG.randn(1, 16, 128, 4).astype(np.float32)
+    flow = (RNG.rand(1, 16, 128, 2).astype(np.float32) - 0.5) * 12
+    with pltpu.force_tpu_interpret_mode():
+        out, wsum = flow_warp_fast(img, flow)
+    ref_out, ref_mask = flow_warp_with_mask(img, flow)
+    mask = (np.asarray(wsum) >= 1.0).astype(np.float32)
+    np.testing.assert_allclose(mask, np.asarray(ref_mask), atol=0)
+    np.testing.assert_allclose(np.asarray(out) * mask[..., None],
+                               np.asarray(ref_out), rtol=1e-5, atol=1e-5)

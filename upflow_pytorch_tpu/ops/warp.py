@@ -33,8 +33,57 @@ engages.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _pallas_warp_enabled(x: jax.Array) -> bool:
+    """Use the Pallas fast warp for small-channel images on TPU.
+
+    The fast path is EXACT (it lax.cond-falls-back to the XLA gather for
+    flows outside its displacement window); dispatch is static at trace
+    time.  Disable with UPFLOW_DISABLE_PALLAS_WARP=1.
+    """
+    if os.environ.get("UPFLOW_DISABLE_PALLAS_WARP"):
+        return False
+    if x.shape[-1] > 4 or jax.default_backend() != "tpu":
+        return False
+    # honor an active jax.default_device(cpu) override (e.g. CPU init)
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+        return False
+    return True
+
+
+@jax.custom_vjp
+def _fast_warp_core(x: jax.Array, flow: jax.Array) -> jax.Array:
+    from upflow_pytorch_tpu.ops.pallas.warp import flow_warp_fast
+    out, _ = flow_warp_fast(x, flow)
+    return out
+
+
+def _fast_warp_core_fwd(x, flow):
+    return _fast_warp_core(x, flow), (x, flow)
+
+
+def _fast_warp_core_bwd(res, g):
+    # backward through the (cheaper, training-resolution) XLA formulation;
+    # identical math, so gradients are exact for the same primal values.
+    x, flow = res
+
+    def xla_warp(x, flow):
+        px, py = _abs_coords(flow)
+        out, _ = _bilinear_zero_pad(x, px, py)
+        return out.astype(x.dtype)
+
+    _, vjp = jax.vjp(xla_warp, x, flow)
+    return vjp(g)
+
+
+_fast_warp_core.defvjp(_fast_warp_core_fwd, _fast_warp_core_bwd)
 
 
 def _patch_gather(img_padded: jax.Array, sy: jax.Array, sx: jax.Array) -> jax.Array:
@@ -107,9 +156,29 @@ def _bilinear_zero_pad(img: jax.Array, px: jax.Array, py: jax.Array):
 
 def flow_warp(x: jax.Array, flow: jax.Array) -> jax.Array:
     """``tools.torch_warp``: zero-padded bilinear warp, no mask."""
+    if _pallas_warp_enabled(x):
+        return _fast_warp_core(x, flow).astype(x.dtype)
     px, py = _abs_coords(flow)
     out, _ = _bilinear_zero_pad(x, px, py)
     return out.astype(x.dtype)
+
+
+def _analytic_wsum(x_shape, px, py):
+    """Warp-of-ones via pure vector math (no gather)."""
+    _, ih, iw, _ = x_shape
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx1 = px - x0
+    wx0 = 1.0 - wx1
+    wy1 = py - y0
+    wy0 = 1.0 - wy1
+
+    def inb(yc, xc):
+        return ((xc >= 0) & (xc <= iw - 1) & (yc >= 0) & (yc <= ih - 1)
+                ).astype(jnp.float32)
+
+    return (wy0 * wx0 * inb(y0, x0) + wy0 * wx1 * inb(y0, x0 + 1)
+            + wy1 * wx0 * inb(y0 + 1, x0) + wy1 * wx1 * inb(y0 + 1, x0 + 1))
 
 
 def flow_warp_with_mask(x: jax.Array, flow: jax.Array):
@@ -119,7 +188,11 @@ def flow_warp_with_mask(x: jax.Array, flow: jax.Array):
     bilinear support), else 0 — pwc_modules.py:201-207.
     """
     px, py = _abs_coords(flow)
-    out, wsum = _bilinear_zero_pad(x, px, py)
+    if _pallas_warp_enabled(x):
+        out = _fast_warp_core(x, flow)
+        wsum = _analytic_wsum(x.shape, px, py)
+    else:
+        out, wsum = _bilinear_zero_pad(x, px, py)
     mask = (wsum >= 1.0).astype(jnp.float32)
     return (out * mask[..., None]).astype(x.dtype), mask
 
