@@ -17,7 +17,23 @@ UNFLOW_SCALE = np.float32(0.0039216)  # 1/255 (reference's stddev = 1/0.0039216)
 
 
 def read_image(path: str) -> np.ndarray:
-    """Read an image file -> (H, W, 3) uint8 RGB."""
+    """Read an image file -> (H, W, 3) uint8 RGB.
+
+    Prefers the native C++ PNG decoder (data/native.py), then cv2/PIL,
+    then the pure-python codec.
+    """
+    if path.lower().endswith(".png"):
+        try:
+            from upflow_pytorch_tpu.data import native
+            if native.available():
+                img = native.decode_png(path)
+                if img.dtype == np.uint16:
+                    img = (img >> 8).astype(np.uint8)
+                if img.shape[2] == 1:
+                    img = np.repeat(img, 3, axis=2)
+                return img[:, :, :3]
+        except Exception:
+            pass
     try:
         import cv2
         img = cv2.imread(path, cv2.IMREAD_COLOR)

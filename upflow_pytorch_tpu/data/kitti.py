@@ -24,7 +24,13 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from upflow_pytorch_tpu.data.flow_io import read_flow_png
+def read_flow_png(path):
+    """Dispatch to the native C++ flow decoder, pure-python fallback."""
+    from upflow_pytorch_tpu.data import native
+    if native.available():
+        return native.decode_flow_png(path)
+    from upflow_pytorch_tpu.data.flow_io import read_flow_png as _py
+    return _py(path)
 from upflow_pytorch_tpu.data.image_io import normalize_image, read_image
 from upflow_pytorch_tpu.eval.bench import EvalSample
 
