@@ -15,6 +15,14 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def _normalize(tree: Any) -> Any:
+    """Orbax StandardSave rejects numpy scalar types; promote to arrays."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, np.generic) else x, tree)
+
+
 def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
     options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
     return ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options)
@@ -23,7 +31,7 @@ def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
 def save_checkpoint(ckpt_dir: str, step: int, state: Any,
                     max_to_keep: int = 3, wait: bool = True) -> None:
     mgr = _manager(ckpt_dir, max_to_keep)
-    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.save(step, args=ocp.args.StandardSave(_normalize(state)))
     if wait:
         mgr.wait_until_finished()
     mgr.close()
@@ -46,7 +54,7 @@ def restore_checkpoint(ckpt_dir: str, state_template: Any,
     if step is None:
         raise FileNotFoundError("no checkpoint found in %s" % ckpt_dir)
     abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
-                                      state_template)
+                                      _normalize(state_template))
     restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
     mgr.close()
     return restored
