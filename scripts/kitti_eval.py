@@ -43,6 +43,9 @@ def main():
                     choices=["2012_train", "2015_train", "2012_test", "2015_test"])
     ap.add_argument("--ckpt", default=None, help="reference .pth checkpoint")
     ap.add_argument("--orbax-ckpt", default=None, help="orbax checkpoint dir")
+    ap.add_argument("--save-dir", default=None,
+                    help="write predicted flows as KITTI 16-bit PNGs "
+                         "(submission format) to this directory")
     args = ap.parse_args()
 
     model = build_model(EVAL_CONF)
@@ -60,7 +63,23 @@ def main():
     bench = EvaluationBench(dataset,
                             is_test_split=args.split.endswith("_test"),
                             verbose=True)
-    res = bench(NetEvalModel(model, params))
+    eval_model = NetEvalModel(model, params)
+    if args.save_dir:
+        import os
+
+        from upflow_pytorch_tpu.data.flow_io import write_flow_png
+
+        os.makedirs(args.save_dir, exist_ok=True)
+        save_dir = args.save_dir
+
+        class SavingModel(NetEvalModel):
+            def eval_save_result(self, save_name, predflow, *a, **k):
+                flow = np.asarray(predflow)[0]
+                write_flow_png(os.path.join(save_dir,
+                                            "%s.png" % save_name), flow)
+
+        eval_model = SavingModel(model, params)
+    res = bench(eval_model)
     if res is not None:
         print("EPE All = %.2f, F1 = %.2f, EPE Noc = %.2f, EPE Occ = %.2f"
               % (res.epe_all, res.f1, res.epe_noc, res.epe_occ))

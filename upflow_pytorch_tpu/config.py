@@ -129,3 +129,6 @@ class TrainerConfig(ConfigBase):
     # TPU extensions
     data_axis: int = 1  # number of data-parallel shards (mesh size)
     seed: int = 0
+    # ARFlow spatial-transform equivariance (ex_runner recipe; 0 = off)
+    eq_loss_weight: float = 0.0
+    eq_loss_use_occ: bool = True

@@ -18,9 +18,9 @@ from upflow_pytorch_tpu.models.upflow import UPFlowNet, forward
 from upflow_pytorch_tpu.train.step import TrainState, make_train_step
 
 
-def make_sharded_train_step(model: UPFlowNet, tx, mesh: Mesh):
+def make_sharded_train_step(model: UPFlowNet, tx, mesh: Mesh, **step_kwargs):
     """Jitted train step: state replicated, batch sharded over 'data'."""
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, **step_kwargs)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(step,

@@ -97,13 +97,22 @@ def create_train_state(model_conf: UPFlowConfig, trainer_conf: TrainerConfig,
     return model, TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
-def make_train_step(model: UPFlowNet, tx: optax.GradientTransformation):
-    """Build the (un-jitted) train step; caller decides jit/shard_map."""
+def make_train_step(model: UPFlowNet, tx: optax.GradientTransformation,
+                    eq_loss_weight: float = 0.0,
+                    eq_loss_use_occ: bool = True):
+    """Build the (un-jitted) train step; caller decides jit/shard_map.
 
-    def loss_fn(params, batch):
+    ``eq_loss_weight > 0`` enables the ARFlow spatial-transform
+    equivariance pass (the ex_runner.py:224-284 recipe, fixed): a second
+    forward on a randomly affine-transformed pair penalized against the
+    transformed (detached) teacher flow.  The per-step rng is derived from
+    the step counter, keeping the step a pure function of the state.
+    """
+
+    def loss_fn(params, batch, step):
         out = forward_with_loss(model, params, batch)
+        total = out["total_loss"]
         metrics = {
-            "total_loss": out["total_loss"],
             "photo_loss": out["photo_loss"],
             "smooth_loss": out["smooth_loss"],
         }
@@ -111,11 +120,22 @@ def make_train_step(model: UPFlowNet, tx: optax.GradientTransformation):
             metrics["census_loss"] = out["census_loss"]
         if out["msd_loss"] is not None:
             metrics["msd_loss"] = out["msd_loss"]
-        return out["total_loss"], metrics
+        if eq_loss_weight > 0:
+            from upflow_pytorch_tpu.losses.equivariance import equivariance_pass
+            rng = jax.random.fold_in(jax.random.PRNGKey(17), step)
+            teacher = {k: jax.lax.stop_gradient(out[k])
+                       for k in ("flow_f_out", "flow_b_out",
+                                 "occ_fw", "occ_bw")}
+            eq = eq_loss_weight * equivariance_pass(
+                model, params, batch, teacher, rng, use_occ=eq_loss_use_occ)
+            metrics["eq_loss"] = eq
+            total = total + eq
+        metrics["total_loss"] = total
+        return total, metrics
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch)
+            state.params, batch, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics

@@ -36,6 +36,7 @@ _LOSS_SHORT_NAMES = {
     "smooth_loss": "sm",
     "census_loss": "cen",
     "msd_loss": "msd",
+    "eq_loss": "eq",
     "total_loss": "loss",
 }
 
@@ -77,7 +78,10 @@ class Trainer:
         self.model, self.state, self.tx = create_train_state(
             model_conf, trainer_conf)
         self.state = replicate(self.mesh, self.state)
-        self.train_step = make_sharded_train_step(self.model, self.tx, self.mesh)
+        self.train_step = make_sharded_train_step(
+            self.model, self.tx, self.mesh,
+            eq_loss_weight=trainer_conf.eq_loss_weight,
+            eq_loss_use_occ=trainer_conf.eq_loss_use_occ)
         self.eval_step = make_sharded_eval_step(self.model, self.mesh)
 
         self.loader = DataLoader(
