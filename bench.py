@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 BASELINE_V100_PAIRS_PER_SEC = 25.0
 
-BATCH = 2
+BATCH = 4  # measured sweet spot on v5e (B=8 regresses on HBM pressure)
 HEIGHT, WIDTH = 384, 1280
 WARMUP = 3
 ITERS = 20

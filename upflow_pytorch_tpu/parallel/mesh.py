@@ -18,6 +18,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: call before building the mesh on each host.
+
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detects on Cloud
+    TPU when called with no args).  After this, ``jax.devices()`` spans all
+    hosts and the GSPMD steps in ``parallel.step`` shard globally — grads
+    all-reduce over ICI within a slice and DCN across slices, with XLA
+    choosing the routing (no hand-written comm layer, unlike the
+    reference's DataParallel scatter/gather, tools.py:129-148).
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(data: Optional[int] = None, spatial: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a ('data', 'spatial') mesh; defaults to all devices on 'data'."""
