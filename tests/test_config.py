@@ -41,10 +41,12 @@ def test_updated_ignores_unknown_keys():
 
 
 def test_get_name_is_sorted_key_value_string():
-    name = TrainerConfig(lr=0.5).get_name()
+    c = TrainerConfig(lr=0.5)
+    name = c.get_name()
     assert "lr|0.5_" in name
-    keys = [seg.split("|")[0] for seg in name.split("_") if "|" in seg]
-    assert keys == sorted(keys)
+    # keys appear in sorted order
+    positions = [name.index("%s|" % k) for k in sorted(c.get_dict())]
+    assert positions == sorted(positions)
 
 
 def test_dataset_config_knobs():
