@@ -114,14 +114,21 @@ def _abs_coords(flow: jax.Array):
     return px, py
 
 
-def _bilinear_zero_pad(img: jax.Array, px: jax.Array, py: jax.Array):
-    """Bilinear sample img (B,Hi,Wi,C) at absolute coords px,py (B,H,W).
+@jax.custom_vjp
+def _bilinear_sample(img: jax.Array, px: jax.Array, py: jax.Array) -> jax.Array:
+    """Differentiable core: zero-pad bilinear sample of img at (px, py).
 
-    Out-of-bounds taps contribute zero (torch
-    ``grid_sample(padding_mode='zeros')``).  Returns ``(sampled,
-    weight_sum)`` where ``weight_sum`` is the warped all-ones image (total
-    in-bounds bilinear weight), used for the validity mask.
+    Carries a hand-written VJP: jax's auto-transpose of the patch gather
+    emits a WINDOWED scatter-add ((2,2,C) updates), which XLA:TPU executes
+    ~20x slower than element scatters (measured 2.0s vs 0.1s for the d_img
+    of a 256x832x2 warp).  The custom backward uses four flat element
+    scatter-adds for d_img and one extra patch gather for d_px/d_py.
     """
+    out, _ = _bilinear_sample_fwd_impl(img, px, py)
+    return out
+
+
+def _bilinear_sample_fwd_impl(img, px, py):
     b, ih, iw, c = img.shape
     px = px.astype(jnp.float32)
     py = py.astype(jnp.float32)
@@ -151,6 +158,94 @@ def _bilinear_zero_pad(img: jax.Array, px: jax.Array, py: jax.Array):
 
     wsum = (wy0 * wx0 * inb(y0, x0) + wy0 * wx1 * inb(y0, x0 + 1)
             + wy1 * wx0 * inb(y0 + 1, x0) + wy1 * wx1 * inb(y0 + 1, x0 + 1))
+    return out, wsum
+
+
+def _bilinear_sample_fwd(img, px, py):
+    out, _ = _bilinear_sample_fwd_impl(img, px, py)
+    return out, (img, px, py)
+
+
+def _bilinear_sample_bwd(res, g):
+    img, px, py = res
+    b, ih, iw, c = img.shape
+    g = g.astype(jnp.float32)
+    px = px.astype(jnp.float32)
+    py = py.astype(jnp.float32)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx1 = px - x0
+    wx0 = 1.0 - wx1
+    wy1 = py - y0
+    wy0 = 1.0 - wy1
+
+    def inb(yc, xc):
+        return ((xc >= 0) & (xc <= iw - 1) & (yc >= 0) & (yc <= ih - 1)
+                ).astype(jnp.float32)
+
+    taps = (
+        (y0, x0, wy0 * wx0),
+        (y0, x0 + 1, wy0 * wx1),
+        (y0 + 1, x0, wy1 * wx0),
+        (y0 + 1, x0 + 1, wy1 * wx1),
+    )
+
+    # --- d_img: four flat element scatter-adds ---
+    def scatter_one(gb, idxs, vals):
+        # gb: (N, C) cotangent rows, idxs: (4, N), vals (4, N)
+        z = jnp.zeros((ih * iw, c), jnp.float32)
+        for k in range(4):
+            z = z.at[idxs[k]].add(gb * vals[k][:, None],
+                                  mode="drop", indices_are_sorted=False,
+                                  unique_indices=False)
+        return z
+
+    idxs = []
+    vals = []
+    for yc, xc, w in taps:
+        valid = inb(yc, xc)
+        iy = jnp.clip(yc, 0, ih - 1).astype(jnp.int32)
+        ix = jnp.clip(xc, 0, iw - 1).astype(jnp.int32)
+        idxs.append((iy * iw + ix).reshape(b, -1))
+        vals.append((w * valid).reshape(b, -1))
+    idxs = jnp.stack(idxs, 1)  # (B, 4, N)
+    vals = jnp.stack(vals, 1)
+    d_img = jax.vmap(scatter_one)(g.reshape(b, -1, c), idxs, vals)
+    d_img = d_img.reshape(img.shape).astype(img.dtype)
+
+    # --- d_px / d_py: one patch gather for the tap values ---
+    imgp = jnp.pad(img.astype(jnp.float32), ((0, 0), (2, 2), (2, 2), (0, 0)))
+    sy = (jnp.clip(y0, -2, ih) + 2).astype(jnp.int32)
+    sx = (jnp.clip(x0, -2, iw) + 2).astype(jnp.int32)
+    patch = _patch_gather(imgp, sy, sx)  # (B,H,W,2,2,C)
+    i00 = patch[:, :, :, 0, 0]
+    i01 = patch[:, :, :, 0, 1]
+    i10 = patch[:, :, :, 1, 0]
+    i11 = patch[:, :, :, 1, 1]
+    gd = g  # (B,H,W,C)
+    d_px = jnp.sum(gd * (wy0[..., None] * (i01 - i00)
+                         + wy1[..., None] * (i11 - i10)), axis=-1)
+    d_py = jnp.sum(gd * (wx0[..., None] * (i10 - i00)
+                         + wx1[..., None] * (i11 - i01)), axis=-1)
+    return d_img, d_px, d_py
+
+
+_bilinear_sample.defvjp(_bilinear_sample_fwd, _bilinear_sample_bwd)
+
+
+def _bilinear_zero_pad(img: jax.Array, px: jax.Array, py: jax.Array):
+    """Bilinear sample img (B,Hi,Wi,C) at absolute coords px,py (B,H,W).
+
+    Out-of-bounds taps contribute zero (torch
+    ``grid_sample(padding_mode='zeros')``).  Returns ``(sampled,
+    weight_sum)`` where ``weight_sum`` is the warped all-ones image (total
+    in-bounds bilinear weight), used for the validity mask.  The sample is
+    differentiable (fast custom VJP); the weight sum is not (it only feeds
+    thresholded masks).
+    """
+    out = _bilinear_sample(img, px, py)
+    _, ih, iw, _ = img.shape
+    wsum = _analytic_wsum(img.shape, px, py)
     return out, wsum
 
 
