@@ -81,6 +81,42 @@ def test_8device_eval_step_sharded_output():
     assert np.isfinite(np.asarray(flow_f)).all()
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatial_sharding_op_pipeline_exact():
+    """W sharded over 'spatial': GSPMD halo exchange through the hot ops
+    (warp -> correlation -> resize) must preserve values exactly.
+
+    (The full net is not value-comparable across shardings: with random
+    weights the 5-level decode chaotically amplifies reduction-order fp
+    noise; op-level equality is the meaningful invariant.)
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from upflow_pytorch_tpu.ops.correlation import correlation_xla
+    from upflow_pytorch_tpu.ops.resize import resize_bilinear_align_corners
+    from upflow_pytorch_tpu.ops.warp import flow_warp_masked
+
+    mesh = make_mesh(data=2, spatial=4)
+    rng = np.random.RandomState(2)
+    f1 = rng.rand(2, 16, 64, 8).astype(np.float32)
+    f2 = rng.rand(2, 16, 64, 8).astype(np.float32)
+    flow = ((rng.rand(2, 16, 64, 2) - 0.5) * 6).astype(np.float32)
+
+    def pipeline(f1, f2, flow):
+        w = flow_warp_masked(f2, flow)
+        corr = correlation_xla(f1, w)
+        return resize_bilinear_align_corners(corr, (32, 128))
+
+    ref = jax.jit(pipeline)(f1, f2, flow)
+
+    sh = NamedSharding(mesh, P("data", None, "spatial"))
+    sharded = jax.jit(pipeline, in_shardings=(sh, sh, sh), out_shardings=sh)
+    out = sharded(jax.device_put(f1, sh), jax.device_put(f2, sh),
+                  jax.device_put(flow, sh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(min(8, len(jax.devices())))

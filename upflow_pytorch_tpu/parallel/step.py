@@ -28,15 +28,26 @@ def make_sharded_train_step(model: UPFlowNet, tx, mesh: Mesh, **step_kwargs):
                    out_shardings=(repl, repl))
 
 
-def make_sharded_eval_step(model: UPFlowNet, mesh: Mesh):
-    """Jitted bidirectional inference with the batch sharded over 'data'."""
+def make_sharded_eval_step(model: UPFlowNet, mesh: Mesh,
+                           spatial: bool = False):
+    """Jitted bidirectional inference with the batch sharded over 'data'.
+
+    ``spatial=True`` additionally shards the image WIDTH over the mesh's
+    'spatial' axis (SURVEY §5's large-frame plan): GSPMD inserts the halo
+    exchanges for the convolutions and the collectives for the warp
+    gathers automatically.  Intended for frames too large for one chip's
+    HBM; for KITTI-scale frames plain data parallelism is faster.  (The
+    Pallas fast-warp path does not partition; disable it with
+    UPFLOW_DISABLE_PALLAS_WARP=1 when using spatial sharding on TPU.)
+    """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    img = NamedSharding(mesh, P("data", None, "spatial") if spatial
+                        else P("data"))
 
     def eval_step(params, im1, im2):
         out = forward(model, params, im1, im2)
         return out["flow_f_out"], out["flow_b_out"], out["occ_fw"], out["occ_bw"]
 
     return jax.jit(eval_step,
-                   in_shardings=(repl, data, data),
-                   out_shardings=(data, data, data, data))
+                   in_shardings=(repl, img, img),
+                   out_shardings=(img, img, img, img))
