@@ -71,10 +71,16 @@ def main():
 
     for i in range(WARMUP):
         float(fwd(params, im1 + steps[i], im2))
-    # each iteration materializes the scalar on the host (see fwd note)
+    # depth-2 pipeline: keep one batch in flight so dispatch overlaps
+    # device compute (throughput measurement); every result is still
+    # materialized on the host (see fwd note), so completion is real.
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        float(fwd(params, im1 + steps[WARMUP + i], im2))
+    pending = fwd(params, im1 + steps[WARMUP], im2)
+    for i in range(1, ITERS):
+        nxt = fwd(params, im1 + steps[WARMUP + i], im2)
+        float(pending)
+        pending = nxt
+    float(pending)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt
