@@ -44,14 +44,28 @@ def correlation_xla(f1: jax.Array, f2: jax.Array, max_displacement: int = 4) -> 
     return out
 
 
+def _pallas_available() -> bool:
+    """Pallas kernels compile only on TPU; honor CPU default-device
+    overrides (e.g. CPU-side param init) like the warp dispatch does."""
+    import os
+
+    if os.environ.get("UPFLOW_DISABLE_PALLAS_CORR"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+
+
 def correlation(f1: jax.Array, f2: jax.Array, max_displacement: int = 4,
                 use_pallas: bool = False) -> jax.Array:
     """Cost-volume correlation with backend dispatch.
 
     ``use_pallas=False`` is the oracle path (mirrors the reference's
-    ``if_use_cor_pytorch`` fallback-selection at upflow.py:557-562).
+    ``if_use_cor_pytorch`` fallback-selection at upflow.py:557-562); the
+    Pallas kernel additionally requires a TPU backend at trace time.
     """
-    if use_pallas:
+    if use_pallas and _pallas_available():
         from upflow_pytorch_tpu.ops.pallas.correlation import correlation_pallas
         return correlation_pallas(f1, f2, max_displacement=max_displacement)
     return correlation_xla(f1, f2, max_displacement=max_displacement)
