@@ -72,18 +72,41 @@ def scale_by_amsgrad_torch(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init, update)
 
 
-def make_optimizer(conf: TrainerConfig) -> optax.GradientTransformation:
+# subtrees frozen by if_froze_pwc (UPFlow_net.froze_PWC, upflow.py:575-583)
+_PWC_FROZEN_ROOTS = ("feature_pyramid_extractor", "flow_estimators",
+                     "context_networks")
+
+
+def _pwc_frozen_mask(params):
+    """True for params frozen by the reference's froze_PWC: the encoder,
+    estimator, context net, and the per-level 1x1 convs."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {k: (k[1] in _PWC_FROZEN_ROOTS or k[1].startswith("conv_1x1_"))
+            for k in flat}
+    return flax.traverse_util.unflatten_dict(mask)
+
+
+def make_optimizer(conf: TrainerConfig,
+                   freeze_pwc: bool = False,
+                   params=None) -> optax.GradientTransformation:
     lr = optax.exponential_decay(
         init_value=conf.lr,
         transition_steps=max(conf.batch_per_epoch, 1),
         decay_rate=conf.scheduler_gamma,
         staircase=True,
     )
-    return optax.chain(
+    tx = optax.chain(
         optax.add_decayed_weights(conf.weight_decay),
         scale_by_amsgrad_torch(),
         optax.scale_by_learning_rate(lr),
     )
+    if freeze_pwc:
+        assert params is not None, "freeze_pwc needs the param tree"
+        mask = _pwc_frozen_mask(params)
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), mask))
+    return tx
 
 
 def create_train_state(model_conf: UPFlowConfig, trainer_conf: TrainerConfig,
@@ -92,7 +115,8 @@ def create_train_state(model_conf: UPFlowConfig, trainer_conf: TrainerConfig,
         rng = jax.random.PRNGKey(trainer_conf.seed)
     model = build_model(model_conf)
     params = init_params(model_conf, rng)
-    tx = make_optimizer(trainer_conf)
+    tx = make_optimizer(trainer_conf, freeze_pwc=model_conf.if_froze_pwc,
+                        params=params)
     opt_state = tx.init(params)
     return model, TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
