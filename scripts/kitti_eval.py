@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--save-dir", default=None,
                     help="write predicted flows as KITTI 16-bit PNGs "
                          "(submission format) to this directory")
+    ap.add_argument("--pad-multiple", type=int, default=None,
+                    help="bucket eval sizes to multiples of N (fewer "
+                         "recompiles; slightly off native-size parity)")
     args = ap.parse_args()
 
     model = build_model(EVAL_CONF)
@@ -68,7 +71,8 @@ def main():
     bench = EvaluationBench(dataset,
                             is_test_split=args.split.endswith("_test"),
                             verbose=True)
-    eval_model = NetEvalModel(model, params)
+    eval_model = NetEvalModel(model, params,
+                              pad_to_multiple=args.pad_multiple)
     if args.save_dir:
         import os
 
@@ -83,7 +87,8 @@ def main():
                 write_flow_png(os.path.join(save_dir,
                                             "%s.png" % save_name), flow)
 
-        eval_model = SavingModel(model, params)
+        eval_model = SavingModel(model, params,
+                                 pad_to_multiple=args.pad_multiple)
     res = bench(eval_model)
     if res is not None:
         print("EPE All = %.2f, F1 = %.2f, EPE Noc = %.2f, EPE Occ = %.2f"

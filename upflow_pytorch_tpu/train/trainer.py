@@ -43,23 +43,45 @@ _LOSS_SHORT_NAMES = {
 
 class NetEvalModel(AbsTestModel):
     """Adapter exposing the jitted net to the EvaluationBench
-    (``Eval_model``, simple_train.py:56-79)."""
+    (``Eval_model``, simple_train.py:56-79).
 
-    def __init__(self, model, params, jit_cache: Optional[dict] = None):
+    KITTI eval images vary in size.  By default each distinct shape gets
+    its own compile (native-resolution eval, exact reference parity).
+    ``pad_to_multiple=N`` instead edge-pads inputs up to multiples of N
+    and crops the flow back — one compile per bucket instead of per size
+    (SURVEY 'pad-and-mask buckets' plan; output differs slightly from
+    native-size eval near the padded border, so keep it off for strict
+    parity runs).
+    """
+
+    def __init__(self, model, params, jit_cache: Optional[dict] = None,
+                 pad_to_multiple: Optional[int] = None):
         self.model = model
         self.params = params
-        # KITTI eval images vary in size; cache one jitted fn per shape
+        self.pad_to_multiple = pad_to_multiple
         self._cache: Dict[Any, Any] = jit_cache if jit_cache is not None else {}
 
     def change_params(self, params):
         self.params = params
 
-    def eval_forward(self, im1, im2, gt, *args):
-        key = im1.shape
-        if key not in self._cache:
-            self._cache[key] = jax.jit(
+    def _fn_for(self, shape):
+        if shape not in self._cache:
+            self._cache[shape] = jax.jit(
                 lambda p, a, b: forward(self.model, p, a, b)["flow_f_out"])
-        return np.asarray(self._cache[key](self.params, im1, im2))
+        return self._cache[shape]
+
+    def eval_forward(self, im1, im2, gt, *args):
+        h, w = im1.shape[1:3]
+        if self.pad_to_multiple:
+            m = self.pad_to_multiple
+            ph = -(-h // m) * m
+            pw = -(-w // m) * m
+            if (ph, pw) != (h, w):
+                pad = ((0, 0), (0, ph - h), (0, pw - w), (0, 0))
+                im1 = np.pad(np.asarray(im1), pad, mode="edge")
+                im2 = np.pad(np.asarray(im2), pad, mode="edge")
+        flow = np.asarray(self._fn_for(im1.shape)(self.params, im1, im2))
+        return flow[:, :h, :w]
 
     def eval_save_result(self, save_name, predflow, *args, **kwargs):
         pass
