@@ -78,6 +78,9 @@ class UPFlowConfig(ConfigBase):
     # --- TPU-native extensions (not in the reference) ---
     # compute dtype for conv stacks; params stay fp32.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # rematerialize the decoder conv stacks in backward (trade FLOPs for
+    # activation memory; enables larger train batches/resolutions)
+    remat: bool = False
     # architecture constants (upflow.py:335-341); exposed for completeness
     search_range: int = 4
     output_level: int = 4

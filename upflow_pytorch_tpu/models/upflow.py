@@ -73,10 +73,15 @@ class UPFlowNet(nn.Module):
         c = self.conf
         dtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
+        # optional rematerialization: the dense-concat decoder stacks hold
+        # the largest activations; recompute them in backward when asked
+        estimator_cls = (nn.remat(FlowEstimatorDense) if c.remat
+                         else FlowEstimatorDense)
+        context_cls = nn.remat(ContextNetwork) if c.remat else ContextNetwork
         self.feature_pyramid_extractor = FeatureExtractor(c.num_chs, dtype=dtype)
-        self.flow_estimators = FlowEstimatorDense(
+        self.flow_estimators = estimator_cls(
             c.estimator_f_channels, out_channels=2, dtype=dtype)
-        self.context_networks = ContextNetwork(c.context_f_channels, dtype=dtype)
+        self.context_networks = context_cls(c.context_f_channels, dtype=dtype)
         # per-level 1x1 skip convs: 196/128/96/64/32 -> 32 (upflow.py:349-353)
         self.conv_1x1 = [
             ConvBlock(32, kernel_size=1, dtype=dtype, name=f"conv_1x1_{i}")
