@@ -18,9 +18,8 @@ from __future__ import annotations
 
 import io
 import pickle
-import struct
 import zipfile
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

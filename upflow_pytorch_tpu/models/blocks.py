@@ -27,7 +27,6 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 # Kaiming-normal (fan_in, leaky_relu gain as torch's default a=0) matching

@@ -26,7 +26,7 @@ census, and multi-scale pyramid distillation, with analytic occlusion masks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
 import jax

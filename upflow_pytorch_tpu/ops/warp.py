@@ -33,7 +33,6 @@ engages.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

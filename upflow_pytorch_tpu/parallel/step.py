@@ -9,13 +9,11 @@ replaces the reference's ``torch.nn.DataParallel`` scatter/gather
 
 from __future__ import annotations
 
-from typing import Dict
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from upflow_pytorch_tpu.models.upflow import UPFlowNet, forward
-from upflow_pytorch_tpu.train.step import TrainState, make_train_step
+from upflow_pytorch_tpu.train.step import make_train_step
 
 
 def make_sharded_train_step(model: UPFlowNet, tx, mesh: Mesh, **step_kwargs):

@@ -13,7 +13,6 @@ from typing import Any
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 def check_tensor(x: Any, name: str = "") -> str:
