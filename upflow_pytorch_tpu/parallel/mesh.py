@@ -41,8 +41,11 @@ def make_mesh(data: Optional[int] = None, spatial: int = 1,
     devices = list(devices) if devices is not None else jax.devices()
     if data is None:
         data = len(devices) // spatial
-    assert data * spatial <= len(devices), \
-        "mesh %dx%d needs more than %d devices" % (data, spatial, len(devices))
+    assert data * spatial <= len(devices), (
+        "mesh ('data'=%d x 'spatial'=%d) requires %d devices but only %d are "
+        "visible; on a single-chip host force a virtual CPU mesh via "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=N (tests/conftest.py "
+        "recipe)" % (data, spatial, data * spatial, len(devices)))
     grid = np.array(devices[: data * spatial]).reshape(data, spatial)
     return Mesh(grid, ("data", "spatial"))
 
