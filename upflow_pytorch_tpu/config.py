@@ -132,6 +132,10 @@ class TrainerConfig(ConfigBase):
     # TPU extensions
     data_axis: int = 1  # number of data-parallel shards (mesh size)
     seed: int = 0
+    # pad in-training eval inputs to multiples of N (compile-bounded eval:
+    # a handful of shape buckets instead of one compile per native KITTI
+    # size).  None = strict native-size eval (acceptance runs).
+    eval_pad_to_multiple: int | None = 64
     # ARFlow spatial-transform equivariance (ex_runner recipe; 0 = off)
     eq_loss_weight: float = 0.0
     eq_loss_use_occ: bool = True

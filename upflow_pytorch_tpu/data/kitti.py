@@ -32,6 +32,7 @@ def read_flow_png(path):
     from upflow_pytorch_tpu.data.flow_io import read_flow_png as _py
     return _py(path)
 from upflow_pytorch_tpu.data.image_io import normalize_image, read_image
+from upflow_pytorch_tpu.data.rng import item_rng
 from upflow_pytorch_tpu.eval.bench import EvalSample
 
 
@@ -181,7 +182,7 @@ class KittiMultiviewDataset:
         self.normalize = normalize
         self.horizontal_flip_aug = horizontal_flip_aug
         self.repeat = repeat
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
         self.N = len(self.pairs)
 
     def __len__(self):
@@ -190,16 +191,22 @@ class KittiMultiviewDataset:
         return self.N * int(self.repeat)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.item(index, epoch=0)
+
+    def item(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        """Item with augmentation drawn statelessly from (seed, epoch,
+        index) — thread-safe and mid-epoch-resumable (see data/rng.py)."""
+        rng = item_rng(self.seed, epoch, index)
         p1, p2 = self.pairs[index % self.N]
-        flip = self.horizontal_flip_aug and self.rng.rand() < 0.5
+        flip = self.horizontal_flip_aug and rng.random() < 0.5
         im1 = normalize_image(read_image(p1), self.normalize, flip)
         im2 = normalize_image(read_image(p2), self.normalize, flip)
-        if self.swap_images and self.rng.rand() < 0.5:
+        if self.swap_images and rng.random() < 0.5:
             im1, im2 = im2, im1
         h, w = im1.shape[:2]
         ph, pw = self.crop_size
-        x = self.rng.randint(self.rho, w - self.rho - pw)
-        y = self.rng.randint(self.rho, h - self.rho - ph)
+        x = int(rng.integers(self.rho, w - self.rho - pw))
+        y = int(rng.integers(self.rho, h - self.rho - ph))
         return {
             "im1_raw": im1,
             "im2_raw": im2,

@@ -47,7 +47,13 @@ class DataLoader:
         self.device = device
         self.post_fn = post_fn
         self.epoch = epoch
-        self.position = position  # batch index within the epoch
+        self.position = position  # producer: next batch index to decode
+        # consumed cursor: the (epoch, position) to RESUME from — i.e. the
+        # first batch the training loop has not yet received.  The producer
+        # counter alone runs up to ``prefetch+1`` batches ahead, so saving
+        # it would skip batches on resume.
+        self._resume_epoch = epoch
+        self._resume_position = position
         self._pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
@@ -55,7 +61,26 @@ class DataLoader:
 
     # --- iteration state (for checkpoint/resume) ---
     def state(self) -> Dict[str, int]:
-        return {"epoch": self.epoch, "position": self.position, "seed": self.seed}
+        """Cursor of the next batch the CONSUMER will see; constructing a
+        loader with these values resumes exactly after the last batch
+        returned by ``__next__`` (including stateless augmentation, which
+        keys off (seed, epoch, index) — see data/rng.py)."""
+        return {"epoch": self._resume_epoch,
+                "position": self._resume_position,
+                "seed": self.seed}
+
+    def set_cursor(self, epoch: int, position: int):
+        """Reposition the loader (before iteration starts) — resume path."""
+        assert self._thread is None, "set_cursor before iterating"
+        self.epoch = int(epoch)
+        self.position = int(position)
+        self._resume_epoch = int(epoch)
+        self._resume_position = int(position)
+
+    def _n_batches(self) -> int:
+        n = len(self.dataset)
+        return (n // self.batch_size if self.drop_last
+                else -(-n // self.batch_size))
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
@@ -65,23 +90,43 @@ class DataLoader:
                                   ).shuffle(order)
         return order
 
+    def _get_item(self, epoch: int, index: int):
+        item_fn = getattr(self.dataset, "item", None)
+        if item_fn is not None:
+            return item_fn(int(index), epoch=epoch)
+        return self.dataset[int(index)]
+
+    def _put(self, item) -> bool:
+        """Queue put that stays responsive to close(); returns False if
+        stopping (a blocked ``put`` into a full prefetch queue would
+        otherwise leak the producer thread)."""
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce(self):
         while not self._stop.is_set():
             order = self._epoch_order(self.epoch)
-            n_batches = (len(order) // self.batch_size if self.drop_last
-                         else -(-len(order) // self.batch_size))
+            n_batches = self._n_batches()
             while self.position < n_batches:
                 if self._stop.is_set():
                     return
-                lo = self.position * self.batch_size
+                epoch, pos = self.epoch, self.position
+                lo = pos * self.batch_size
                 idx = order[lo:lo + self.batch_size]
-                items = list(self._pool.map(self.dataset.__getitem__, idx))
+                items = list(self._pool.map(
+                    lambda i: self._get_item(epoch, i), idx))
                 batch = _stack_batch(items)
                 if self.post_fn is not None:
                     batch = self.post_fn(batch)
                 elif self.device is not None:
                     batch = jax.device_put(batch, self.device)
-                self._queue.put((self.epoch, self.position, batch))
+                if not self._put((epoch, pos, batch)):
+                    return
                 self.position += 1
             self.epoch += 1
             self.position = 0
@@ -96,13 +141,20 @@ class DataLoader:
         if self._thread is None:
             iter(self)
         epoch, pos, batch = self._queue.get()
+        if pos + 1 < self._n_batches():
+            self._resume_epoch, self._resume_position = epoch, pos + 1
+        else:
+            self._resume_epoch, self._resume_position = epoch + 1, 0
         return batch
 
     def close(self):
         self._stop.set()
-        try:
-            while True:
+        # drain until the producer exits — it may be blocked mid-put
+        thread = self._thread
+        while thread is not None and thread.is_alive():
+            try:
                 self._queue.get_nowait()
-        except queue.Empty:
-            pass
+            except queue.Empty:
+                pass
+            thread.join(timeout=0.05)
         self._pool.shutdown(wait=False)

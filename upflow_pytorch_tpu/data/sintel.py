@@ -27,6 +27,7 @@ import numpy as np
 
 from upflow_pytorch_tpu.data.flow_io import read_flo
 from upflow_pytorch_tpu.data.image_io import normalize_image, read_image
+from upflow_pytorch_tpu.data.rng import item_rng
 from upflow_pytorch_tpu.eval.bench import EvalSample
 
 
@@ -104,23 +105,28 @@ class SintelTrainDataset:
         self.swap_images = swap_images
         self.normalize = normalize
         self.horizontal_flip_aug = horizontal_flip_aug
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.items)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        return self.item(index, epoch=0)
+
+    def item(self, index: int, epoch: int = 0) -> Dict[str, np.ndarray]:
+        """Stateless per-item augmentation (see data/rng.py)."""
+        rng = item_rng(self.seed, epoch, index)
         it = self.items[index]
-        flip = self.horizontal_flip_aug and self.rng.rand() < 0.5
+        flip = self.horizontal_flip_aug and rng.random() < 0.5
         im1 = normalize_image(read_image(it["im1"]), self.normalize, flip)
         im2 = normalize_image(read_image(it["im2"]), self.normalize, flip)
-        if self.swap_images and self.rng.rand() < 0.5:
+        if self.swap_images and rng.random() < 0.5:
             im1, im2 = im2, im1
         h, w = im1.shape[:2]
         ph, pw = self.crop_size
         ph, pw = min(ph, h - 2 * self.rho - 1), min(pw, w - 2 * self.rho - 1)
-        x = self.rng.randint(self.rho, w - self.rho - pw)
-        y = self.rng.randint(self.rho, h - self.rho - ph)
+        x = int(rng.integers(self.rho, w - self.rho - pw))
+        y = int(rng.integers(self.rho, h - self.rho - ph))
         return {
             "im1_raw": im1,
             "im2_raw": im2,

@@ -56,10 +56,12 @@ def _corr_kernel(f1_ref, f2_ref, out_ref, *, n_ch: int, disp: int,
 
 
 def _pick_row_tile(h: int) -> int:
-    for t in (8, 4, 2):
-        if h % t == 0:
-            return t
-    return 1
+    """Mosaic requires the block's second-to-last dim to be divisible by 8
+    or equal to the full array dim; whole-H blocks cover the small coarse
+    pyramid levels (e.g. 6x20 at KITTI bench size)."""
+    if h % 8 == 0:
+        return 8
+    return h
 
 
 def _corr_fwd_pallas(f1: jax.Array, f2: jax.Array, disp: int) -> jax.Array:

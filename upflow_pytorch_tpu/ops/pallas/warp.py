@@ -59,10 +59,11 @@ def _warp_kernel(flow_ref, src_ref, out_ref, *, n_ch: int, yb: int, t: int,
     py = sub + v   # y relative to this tile's first row
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
+    # torch grid_sampler weight arithmetic (see ops/warp.py)
     wx1 = px - x0
-    wx0 = 1.0 - wx1
+    wx0 = (x0 + 1.0) - px
     wy1 = py - y0
-    wy0 = 1.0 - wy1
+    wy0 = (y0 + 1.0) - py
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -173,17 +174,23 @@ def flow_warp_fast(img: jax.Array, flow: jax.Array,
 
     Returns (warped, wsum) like ``ops.warp._bilinear_zero_pad``.
     """
-    from upflow_pytorch_tpu.ops.warp import _abs_coords, _bilinear_zero_pad
+    from upflow_pytorch_tpu.ops.warp import (
+        _abs_coords, _abs_coords_torch_grid, _bilinear_zero_pad)
 
     b, h, w, c = img.shape
-    px, py = _abs_coords(flow)
+    # torch grid_sample roundtrip coords (see _torch_grid_roundtrip): the
+    # mask/wsum and the slow path use them exactly; the fast path folds
+    # them back into an effective flow (sub-ulp re-add noise only).
+    px, py = _abs_coords_torch_grid(flow)
+    gx, gy = _abs_coords(jnp.zeros_like(flow))
 
     fl = flow.astype(jnp.float32)
+    fl_eff = jnp.stack([px - gx, py - gy], axis=-1)
     in_range = (jnp.max(jnp.abs(fl[..., 0])) <= r_x - 1) & \
                (jnp.max(jnp.abs(fl[..., 1])) <= r_y - 1)
 
     def fast(_):
-        return flow_warp_pallas_window(img, fl, r_y, r_x)
+        return flow_warp_pallas_window(img, fl_eff, r_y, r_x)
 
     def slow(_):
         out, _ = _bilinear_zero_pad(img, px, py)
@@ -192,17 +199,7 @@ def flow_warp_fast(img: jax.Array, flow: jax.Array,
     out = jax.lax.cond(in_range, fast, slow, None)
 
     # analytic warp-of-ones (pure vector math, no gather)
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    wx1 = px - x0
-    wx0 = 1.0 - wx1
-    wy1 = py - y0
-    wy0 = 1.0 - wy1
+    from upflow_pytorch_tpu.ops.warp import _analytic_wsum
 
-    def inb(yc, xc):
-        return ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
-                ).astype(jnp.float32)
-
-    wsum = (wy0 * wx0 * inb(y0, x0) + wy0 * wx1 * inb(y0, x0 + 1)
-            + wy1 * wx0 * inb(y0 + 1, x0) + wy1 * wx1 * inb(y0 + 1, x0 + 1))
+    wsum = _analytic_wsum(img.shape, px, py)
     return out.astype(img.dtype), wsum

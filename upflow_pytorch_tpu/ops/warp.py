@@ -74,7 +74,7 @@ def _fast_warp_core_bwd(res, g):
     x, flow = res
 
     def xla_warp(x, flow):
-        px, py = _abs_coords(flow)
+        px, py = _abs_coords_torch_grid(flow)
         out, _ = _bilinear_zero_pad(x, px, py)
         return out.astype(x.dtype)
 
@@ -113,6 +113,35 @@ def _abs_coords(flow: jax.Array):
     return px, py
 
 
+def _torch_grid_roundtrip(p: jax.Array, size: int) -> jax.Array:
+    """Emulate torch grid_sample's fp32 normalize->unnormalize roundtrip.
+
+    The reference normalizes absolute coords to [-1, 1] with
+    ``2*v/max(S-1,1) - 1`` (pwc_modules.py:197-199, tools.py:1252-1254) and
+    grid_sample (align_corners=True) unnormalizes with ``((g+1)/2)*(S-1)``.
+    In fp32 this roundtrip perturbs coordinates by ~1 ulp — enough to flip
+    the ``warped_ones >= 1.0`` validity mask of WarpingLayer_no_div
+    (pwc_modules.py:205-206) on ~1% of interior pixels.  Reproducing the
+    exact arithmetic (same op order, fp32 throughout) is required for
+    bit-parity with the reference; the cost is four extra VPU ops.
+    """
+    p = p.astype(jnp.float32)
+    norm = jnp.float32(2.0) * p / jnp.float32(max(size - 1, 1)) - jnp.float32(1.0)
+    return (norm + jnp.float32(1.0)) / jnp.float32(2.0) * jnp.float32(size - 1)
+
+
+def _abs_coords_torch_grid(flow: jax.Array):
+    """``_abs_coords`` passed through the torch grid_sample roundtrip.
+
+    Used by every warp that maps to a reference ``grid_sample`` call
+    (torch_warp, WarpingLayer_no_div); NOT by boundary_dilated_warp, whose
+    reference implementation hand-rolls absolute-coordinate interpolation
+    (tools.py:384-469) with no normalization."""
+    _, h, w, _ = flow.shape
+    px, py = _abs_coords(flow)
+    return _torch_grid_roundtrip(px, w), _torch_grid_roundtrip(py, h)
+
+
 @jax.custom_vjp
 def _bilinear_sample(img: jax.Array, px: jax.Array, py: jax.Array) -> jax.Array:
     """Differentiable core: zero-pad bilinear sample of img at (px, py).
@@ -133,10 +162,13 @@ def _bilinear_sample_fwd_impl(img, px, py):
     py = py.astype(jnp.float32)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
+    # torch grid_sampler weight arithmetic: (x0+1)-px, NOT 1-(px-x0) —
+    # they differ by 1 ulp near-integer coords, which decides the >=1.0
+    # validity-mask threshold (see _torch_grid_roundtrip docstring)
     wx1 = px - x0
-    wx0 = 1.0 - wx1
+    wx0 = (x0 + 1.0) - px
     wy1 = py - y0
-    wy0 = 1.0 - wy1
+    wy0 = (y0 + 1.0) - py
 
     imgp = jnp.pad(img.astype(jnp.float32), ((0, 0), (2, 2), (2, 2), (0, 0)))
     sy = (jnp.clip(y0, -2, ih) + 2).astype(jnp.int32)
@@ -174,9 +206,9 @@ def _bilinear_sample_bwd(res, g):
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     wx1 = px - x0
-    wx0 = 1.0 - wx1
+    wx0 = (x0 + 1.0) - px
     wy1 = py - y0
-    wy0 = 1.0 - wy1
+    wy0 = (y0 + 1.0) - py
 
     def inb(yc, xc):
         return ((xc >= 0) & (xc <= iw - 1) & (yc >= 0) & (yc <= ih - 1)
@@ -252,20 +284,21 @@ def flow_warp(x: jax.Array, flow: jax.Array) -> jax.Array:
     """``tools.torch_warp``: zero-padded bilinear warp, no mask."""
     if _pallas_warp_enabled(x):
         return _fast_warp_core(x, flow).astype(x.dtype)
-    px, py = _abs_coords(flow)
+    px, py = _abs_coords_torch_grid(flow)
     out, _ = _bilinear_zero_pad(x, px, py)
     return out.astype(x.dtype)
 
 
 def _analytic_wsum(x_shape, px, py):
-    """Warp-of-ones via pure vector math (no gather)."""
+    """Warp-of-ones via pure vector math (no gather), torch weight
+    arithmetic (see _bilinear_sample_fwd_impl)."""
     _, ih, iw, _ = x_shape
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     wx1 = px - x0
-    wx0 = 1.0 - wx1
+    wx0 = (x0 + 1.0) - px
     wy1 = py - y0
-    wy0 = 1.0 - wy1
+    wy0 = (y0 + 1.0) - py
 
     def inb(yc, xc):
         return ((xc >= 0) & (xc <= iw - 1) & (yc >= 0) & (yc <= ih - 1)
@@ -275,19 +308,31 @@ def _analytic_wsum(x_shape, px, py):
             + wy1 * wx0 * inb(y0 + 1, x0) + wy1 * wx1 * inb(y0 + 1, x0 + 1))
 
 
+# Validity-mask threshold for flow_warp_with_mask.  The reference's
+# WarpingLayer_no_div uses ``warped_ones >= 1.0`` (pwc_modules.py:205-206),
+# which is CHAOTIC at interior pixels: the fp32 4-product weight sum rounds
+# to 1.0 or 1.0-1ulp depending on the last bit of the flow, pseudo-randomly
+# zeroing ~1-2% of interior warped features.  We reproduce that faithfully
+# by default (the checkpoint was trained with it); tests that compare full
+# models across frameworks set this to 0.9999 — the threshold the reference
+# itself uses in tools.torch_warp_mask (tools.py:1263) — because the
+# chaotic bit can never agree between two different conv stacks.
+MASK_THRESHOLD = 1.0
+
+
 def flow_warp_with_mask(x: jax.Array, flow: jax.Array):
     """``WarpingLayer_no_div``: masked warp.  Returns (warped*mask, mask).
 
-    mask = 1 where the warped all-ones image >= 1.0 (full in-bounds
-    bilinear support), else 0 — pwc_modules.py:201-207.
+    mask = 1 where the warped all-ones image >= MASK_THRESHOLD (full
+    in-bounds bilinear support) — pwc_modules.py:201-207.
     """
-    px, py = _abs_coords(flow)
+    px, py = _abs_coords_torch_grid(flow)
     if _pallas_warp_enabled(x):
         out = _fast_warp_core(x, flow)
         wsum = _analytic_wsum(x.shape, px, py)
     else:
         out, wsum = _bilinear_zero_pad(x, px, py)
-    mask = (wsum >= 1.0).astype(jnp.float32)
+    mask = (wsum >= MASK_THRESHOLD).astype(jnp.float32)
     return (out * mask[..., None]).astype(x.dtype), mask
 
 

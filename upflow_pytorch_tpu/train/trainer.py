@@ -114,6 +114,15 @@ class Trainer:
         self.eval_bench = eval_bench
         self.meters = AvgMeterGroup()
         self.best_metric = float("inf")
+        # ONE eval adapter for the whole run: its per-shape jit cache
+        # persists across epochs, so the dozens of distinct native KITTI
+        # eval sizes compile once, not once per evaluation epoch.  During
+        # training we default to 64-multiple padding buckets (a handful of
+        # compiles total); strict native-size eval remains available by
+        # constructing NetEvalModel directly for acceptance runs.
+        self._eval_model = NetEvalModel(
+            self.model, self.state.params,
+            pad_to_multiple=trainer_conf.eval_pad_to_multiple)
 
     # --- checkpoint/resume -------------------------------------------------
     @property
@@ -138,8 +147,8 @@ class Trainer:
                    "loader": self.loader.state()}
         restored = restore_checkpoint(self.ckpt_dir, payload, step)
         self.state = replicate(self.mesh, restored["state"])
-        self.loader.epoch = int(restored["loader"]["epoch"])
-        self.loader.position = int(restored["loader"]["position"])
+        self.loader.set_cursor(int(restored["loader"]["epoch"]),
+                               int(restored["loader"]["position"]))
         self.log("resumed from step %d" % step)
         return True
 
@@ -183,8 +192,8 @@ class Trainer:
 
     def evaluate_and_checkpoint(self, step: int):
         if self.eval_bench is not None:
-            em = NetEvalModel(self.model, self.state.params)
-            res = self.eval_bench(em)
+            self._eval_model.change_params(self.state.params)
+            res = self.eval_bench(self._eval_model)
             self.log("eval @%d: EPE All=%.2f F1=%.2f Noc=%.2f Occ=%.2f"
                      % (step, res.epe_all, res.f1, res.epe_noc, res.epe_occ))
             if res.epe_all < self.best_metric:
