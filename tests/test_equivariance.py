@@ -71,3 +71,17 @@ def test_equivariance_pass_runs_with_model():
     loss = equivariance_pass(model, params, {"im1": im1, "im2": im2},
                              teacher, jax.random.PRNGKey(1), use_occ=False)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_equivariance_loss_l1_matches_reference_recipe():
+    """eq_loss_type='L1' is the reference's exact masked-L1 penalty
+    (ex_runner.py:266-276): sum(|diff| * mask) / (sum(mask) * 2)."""
+    s = jnp.asarray(RNG.randn(1, 6, 6, 2).astype(np.float32))
+    t = jnp.asarray(RNG.randn(1, 6, 6, 2).astype(np.float32))
+    mask = jnp.asarray((RNG.rand(1, 6, 6, 1) > 0.3).astype(np.float32))
+    got = float(equivariance_loss(s, t, mask, loss_type="L1"))
+    d = np.abs(np.asarray(s) - np.asarray(t)) * np.asarray(mask)
+    want = d.sum() / (np.asarray(mask).sum() * 2 + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # zero for equal flows (no abs-robust floor, unlike the default)
+    assert float(equivariance_loss(s, s, mask, loss_type="L1")) == 0.0

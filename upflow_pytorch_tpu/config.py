@@ -139,3 +139,6 @@ class TrainerConfig(ConfigBase):
     # ARFlow spatial-transform equivariance (ex_runner recipe; 0 = off)
     eq_loss_weight: float = 0.0
     eq_loss_use_occ: bool = True
+    # 'L1' = the reference's exact masked-L1 penalty (ex_runner.py:266-276);
+    # 'abs_robust' = the robust variant (see losses/equivariance.py)
+    eq_loss_type: str = "abs_robust"

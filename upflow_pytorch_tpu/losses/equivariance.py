@@ -101,22 +101,35 @@ def transform_flow(flow: jax.Array, params: AffineParams) -> jax.Array:
 
 def equivariance_loss(student_flow: jax.Array, teacher_flow: jax.Array,
                       valid_mask: jax.Array, occ_mask=None,
-                      delta: float = 0.4) -> jax.Array:
-    """abs-robust distance between student and transformed-teacher flow,
-    averaged over valid (and optionally non-occluded) pixels
-    (ex_runner.py:266-276 used a masked L1; we use the same abs-robust
-    penalty as the reference's photometric/distillation losses)."""
+                      delta: float = 0.4,
+                      loss_type: str = "abs_robust") -> jax.Array:
+    """Distance between student and transformed-teacher flow, averaged
+    over valid (and optionally non-occluded) pixels.
+
+    ``loss_type='L1'`` reproduces the reference recipe exactly — the
+    ex_runner equivariance pass penalizes a masked L1
+    (ex_runner.py:266-276).  ``'abs_robust'`` (default) uses the same
+    robust penalty as the reference's photometric/distillation losses,
+    which is less outlier-dominated early in training.  The delta between
+    the two is documented in PARITY.md.
+    """
     mask = valid_mask
     if occ_mask is not None:
         mask = mask * occ_mask
-    diff = (jnp.abs(student_flow - jax.lax.stop_gradient(teacher_flow))
-            + 0.01) ** delta
+    err = jnp.abs(student_flow - jax.lax.stop_gradient(teacher_flow))
+    if loss_type == "abs_robust":
+        diff = (err + 0.01) ** delta
+    elif loss_type == "L1":
+        diff = err
+    else:
+        raise ValueError("wrong equivariance loss_type: %s" % loss_type)
     return jnp.sum(diff * mask) / (jnp.sum(mask) * 2 + 1e-6)
 
 
 def equivariance_pass(model, model_params, batch: Dict[str, jax.Array],
                       teacher_out: Dict[str, jax.Array], rng: jax.Array,
-                      use_occ: bool = True) -> jax.Array:
+                      use_occ: bool = True,
+                      loss_type: str = "abs_robust") -> jax.Array:
     """Full ARFlow pass: transform pair + teacher flow, student forward on
     transformed images, penalize disagreement.  Returns the scalar loss."""
     im1, im2 = batch["im1"], batch["im2"]
@@ -142,6 +155,8 @@ def equivariance_pass(model, model_params, batch: Dict[str, jax.Array],
         occ_b = (occ_b >= 0.999).astype(jnp.float32)
     s_flow_f, s_flow_b, _ = model.apply(model_params, im1_t, im2_t)
     mask = m1 * m2
-    loss = (equivariance_loss(s_flow_f, flow_f_t, mask, occ_f)
-            + equivariance_loss(s_flow_b, flow_b_t, mask, occ_b))
+    loss = (equivariance_loss(s_flow_f, flow_f_t, mask, occ_f,
+                              loss_type=loss_type)
+            + equivariance_loss(s_flow_b, flow_b_t, mask, occ_b,
+                                loss_type=loss_type))
     return loss

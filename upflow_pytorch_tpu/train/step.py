@@ -123,7 +123,8 @@ def create_train_state(model_conf: UPFlowConfig, trainer_conf: TrainerConfig,
 
 def make_train_step(model: UPFlowNet, tx: optax.GradientTransformation,
                     eq_loss_weight: float = 0.0,
-                    eq_loss_use_occ: bool = True):
+                    eq_loss_use_occ: bool = True,
+                    eq_loss_type: str = "abs_robust"):
     """Build the (un-jitted) train step; caller decides jit/shard_map.
 
     ``eq_loss_weight > 0`` enables the ARFlow spatial-transform
@@ -151,7 +152,8 @@ def make_train_step(model: UPFlowNet, tx: optax.GradientTransformation,
                        for k in ("flow_f_out", "flow_b_out",
                                  "occ_fw", "occ_bw")}
             eq = eq_loss_weight * equivariance_pass(
-                model, params, batch, teacher, rng, use_occ=eq_loss_use_occ)
+                model, params, batch, teacher, rng, use_occ=eq_loss_use_occ,
+                loss_type=eq_loss_type)
             metrics["eq_loss"] = eq
             total = total + eq
         metrics["total_loss"] = total

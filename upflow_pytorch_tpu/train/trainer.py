@@ -103,7 +103,8 @@ class Trainer:
         self.train_step = make_sharded_train_step(
             self.model, self.tx, self.mesh,
             eq_loss_weight=trainer_conf.eq_loss_weight,
-            eq_loss_use_occ=trainer_conf.eq_loss_use_occ)
+            eq_loss_use_occ=trainer_conf.eq_loss_use_occ,
+            eq_loss_type=trainer_conf.eq_loss_type)
         self.eval_step = make_sharded_eval_step(self.model, self.mesh)
 
         self.loader = DataLoader(
