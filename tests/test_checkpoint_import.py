@@ -22,6 +22,7 @@ def params():
     return init_params(CONF, jax.random.PRNGKey(42))
 
 
+@pytest.mark.slow
 def test_export_produces_reference_key_names(params):
     sd = params_to_torch_state_dict(params)
     expected = [

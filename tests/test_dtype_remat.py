@@ -1,6 +1,7 @@
 """bfloat16 compute path and rematerialized training."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +17,7 @@ BASE = dict(if_use_cor_pytorch=True, if_sgu_upsample=True,
             norm_moments_across_images=False)
 
 
+@pytest.mark.slow
 def test_bfloat16_forward_close_to_fp32():
     im1 = jnp.asarray(RNG.rand(1, 64, 96, 3).astype(np.float32))
     im2 = jnp.asarray(RNG.rand(1, 64, 96, 3).astype(np.float32))
@@ -37,6 +39,7 @@ def test_bfloat16_forward_close_to_fp32():
     assert float(jnp.abs(f16).max()) < 1e3  # no blow-up
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_plain():
     conf = UPFlowConfig().updated(dict(if_use_cor_pytorch=True,
                                        if_sgu_upsample=False,
@@ -56,5 +59,8 @@ def test_remat_train_step_matches_plain():
     a = jax.tree_util.tree_leaves(sp.params)
     b = jax.tree_util.tree_leaves(sr.params)
     for x, y in zip(a, b):
+        # atol covers lr-scale Adam noise: remat + the direction-stacked
+        # decode reorder fp reductions, and Adam's grad normalization
+        # turns ulp-level grad diffs into ~1e-5 param diffs
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                   rtol=1e-4, atol=1e-6)
+                                   rtol=1e-4, atol=5e-5)

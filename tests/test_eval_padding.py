@@ -2,6 +2,7 @@
 bucket, flow close to native-size eval away from the padded border."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -13,6 +14,7 @@ CONF = UPFlowConfig().updated(dict(if_use_cor_pytorch=True,
                                    if_sgu_upsample=False))
 
 
+@pytest.mark.slow
 def test_pad_to_multiple_eval():
     model = build_model(CONF)
     params = init_params(CONF, jax.random.PRNGKey(0))

@@ -23,6 +23,7 @@ def _batch(seed=0, h=32, w=48):
     return {"im1": jnp.asarray(im), "im2": jnp.asarray(np.roll(im, 1, 2))}
 
 
+@pytest.mark.slow
 def test_froze_pwc_keeps_pwc_params_fixed():
     conf = UPFlowConfig().updated({**BASE, "if_froze_pwc": True,
                                    "if_sgu_upsample": True})

@@ -77,6 +77,7 @@ def test_forward_with_loss_finite(demo_model):
         assert val > 0, name
 
 
+@pytest.mark.slow
 def test_forward_jits_and_grads(demo_model):
     model, params = demo_model
     batch = _batch(np.random.RandomState(2))

@@ -63,3 +63,54 @@ def test_flow_warp_fast_wsum_matches_mask_semantics():
     np.testing.assert_allclose(mask, np.asarray(ref_mask), atol=0)
     np.testing.assert_allclose(np.asarray(out) * mask[..., None],
                                np.asarray(ref_out), rtol=1e-5, atol=1e-5)
+
+
+# --- shift-window small-flow warp (ops/warp.py::_shift_window_warp) -------
+
+@pytest.mark.parametrize("c", [2, 3])
+@pytest.mark.parametrize("flow_scale", [0.05, 1.9])
+def test_shift_window_warp_matches_gather(c, flow_scale):
+    """The no-gather shift warp is exact vs the gather path for flows
+    within its window (it replaces the gather on TPU for the SGU blend
+    warps; this pins the math on CPU)."""
+    from upflow_pytorch_tpu.ops.warp import (
+        _abs_coords_torch_grid,
+        _bilinear_zero_pad,
+        _shift_window_warp,
+        _small_flow_pred,
+    )
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 24, 40, c).astype(np.float32)
+    flow = ((rng.rand(2, 24, 40, 2) - 0.5) * 2 * flow_scale).astype(np.float32)
+    assert bool(_small_flow_pred(jnp.asarray(flow)))
+    px, py = _abs_coords_torch_grid(jnp.asarray(flow))
+    ref, _ = _bilinear_zero_pad(jnp.asarray(x), px, py)
+    out = _shift_window_warp(jnp.asarray(x), px, py)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+
+def test_shift_window_warp_boundary_zeros():
+    """Out-of-image taps contribute zero (padding_mode='zeros')."""
+    from upflow_pytorch_tpu.ops.warp import (
+        _abs_coords_torch_grid,
+        _shift_window_warp,
+    )
+
+    x = np.ones((1, 8, 8, 1), np.float32)
+    flow = np.full((1, 8, 8, 2), -1.5, np.float32)  # sample above/left edge
+    px, py = _abs_coords_torch_grid(jnp.asarray(flow))
+    out = np.asarray(_shift_window_warp(jnp.asarray(x), px, py))[0, :, :, 0]
+    # first row/col sample at (-1.5): fully outside -> 0; second partially
+    assert out[0, 0] == 0.0
+    np.testing.assert_allclose(out[3:, 3:], 1.0, atol=1e-6)
+
+
+def test_small_flow_pred_bounds():
+    from upflow_pytorch_tpu.ops.warp import _SMALL_WINDOW_R, _small_flow_pred
+
+    ok = np.zeros((1, 4, 4, 2), np.float32) + (_SMALL_WINDOW_R - 1)
+    too_big = np.zeros((1, 4, 4, 2), np.float32) + _SMALL_WINDOW_R
+    assert bool(_small_flow_pred(jnp.asarray(ok)))
+    assert not bool(_small_flow_pred(jnp.asarray(too_big)))

@@ -39,6 +39,7 @@ def make_batch(b, h=32, w=48, margin=8, seed=0):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_8device_train_step_matches_single_device():
     mesh = make_mesh(data=8)
     model, state, tx = create_train_state(CONF, TrainerConfig())
@@ -117,6 +118,7 @@ def test_spatial_sharding_op_pipeline_exact():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(min(8, len(jax.devices())))

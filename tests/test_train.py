@@ -21,6 +21,7 @@ CONF = UPFlowConfig().updated(dict(
 ))
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_overfit_pair():
     tc = TrainerConfig(lr=2e-4)
     model, state, tx = create_train_state(CONF, tc, jax.random.PRNGKey(0))

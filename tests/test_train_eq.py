@@ -1,6 +1,7 @@
 """Equivariance-enabled train step (the ex_runner recipe)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ CONF = UPFlowConfig().updated(dict(
 ))
 
 
+@pytest.mark.slow
 def test_train_step_with_eq_loss():
     tc = TrainerConfig()
     model, state, tx = create_train_state(CONF, tc, jax.random.PRNGKey(0))

@@ -47,6 +47,7 @@ def make_eval_samples(n=2):
     return out
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_with_resume(tmp_path):
     logs = []
     tc = TrainerConfig(exp_dir=str(tmp_path / "exp"), batchsize=2,

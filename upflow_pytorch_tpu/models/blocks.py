@@ -24,9 +24,11 @@ arithmetic in bfloat16 while keeping fp32 params.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # Kaiming-normal (fan_in, leaky_relu gain as torch's default a=0) matching
@@ -34,8 +36,49 @@ import jax.numpy as jnp
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+class _Conv2DParams(nn.Module):
+    """Bare conv parameters with nn.Conv's exact tree layout
+    (``{conv: {kernel, bias}}`` when named 'conv') — used by the Pallas
+    fast path so checkpoints are interchangeable with the nn.Conv path."""
+
+    features: int
+    kernel_shape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _kaiming, self.kernel_shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+def _pallas_conv_enabled(x, kernel_size: int, stride: int,
+                         compute_dtype) -> bool:
+    """Fast-path predicate (trace-time): the fused Pallas conv handles
+    3x3/stride-1 on TPU; it computes in bf16 (fp32 accumulation), so it
+    engages only when the model explicitly opted into bfloat16 compute.
+    Tiny maps stay on XLA (grid overhead dominates)."""
+    if os.environ.get("UPFLOW_DISABLE_PALLAS_CONV"):
+        return False
+    if kernel_size != 3 or stride != 1 or compute_dtype != jnp.bfloat16:
+        return False
+    if x.shape[1] < 8 or x.shape[1] * x.shape[2] < 2048:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+
+
 class ConvBlock(nn.Module):
-    """3x3-by-default conv + optional LeakyReLU(0.1)."""
+    """3x3-by-default conv + optional LeakyReLU(0.1).
+
+    ``x`` may be a single NHWC array or a SEQUENCE of arrays to be
+    concatenated along channels: the decoder's DenseNet stacks pass their
+    concat segments unmaterialized, so the Pallas fast path can read each
+    segment directly from HBM (the torch reference materializes every
+    ``cat`` before its conv — on TPU that concat traffic is pure waste),
+    while the XLA path concatenates lazily here with identical numerics.
+    """
 
     features: int
     kernel_size: int = 3
@@ -46,6 +89,18 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        segments = list(x) if isinstance(x, (list, tuple)) else [x]
+        if _pallas_conv_enabled(segments[0], self.kernel_size, self.stride,
+                                self.dtype):
+            from upflow_pytorch_tpu.ops.pallas.conv import conv3x3_seg
+
+            cin = sum(s.shape[-1] for s in segments)
+            kernel, bias = _Conv2DParams(
+                self.features, (3, 3, cin, self.features), name="conv")()
+            return conv3x3_seg(segments, kernel, bias, self.dilation,
+                               self.relu)
+        x = (segments[0] if len(segments) == 1
+             else jnp.concatenate(segments, axis=-1))
         pad = ((self.kernel_size - 1) * self.dilation) // 2
         x = nn.Conv(
             features=self.features,
@@ -94,12 +149,16 @@ class FlowEstimatorDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # segments kept as a list (newest first, matching torch
+        # ``cat([conv(x), x])``); concat never materializes on the Pallas
+        # path and is built lazily by ConvBlock on the XLA path
+        segs = list(x) if isinstance(x, (list, tuple)) else [x]
         for i, f in enumerate(self.f_channels):
-            y = ConvBlock(f, dtype=self.dtype, name=f"conv{i + 1}")(x)
-            x = jnp.concatenate([y, x], axis=-1)
+            y = ConvBlock(f, dtype=self.dtype, name=f"conv{i + 1}")(segs)
+            segs = [y] + segs
         out = ConvBlock(self.out_channels, relu=False, dtype=self.dtype,
-                        name="conv_last")(x)
-        return x, out
+                        name="conv_last")(segs)
+        return segs, out
 
 
 class ContextNetwork(nn.Module):
@@ -110,6 +169,8 @@ class ContextNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # x may be a segment list (estimator features + flow) — consumed
+        # unconcatenated by the first conv
         dilations = (1, 2, 4, 8, 16, 1, 1)
         for i, (f, d) in enumerate(zip(self.f_channels, dilations)):
             last = i == len(self.f_channels) - 1

@@ -92,31 +92,47 @@ class UPFlowNet(nn.Module):
             self.sgu_output_conv = SGUOutputConv(dtype=dtype)
 
     # --- SGU ---------------------------------------------------------------
-    def _self_guided_upsample(self, flow_init, feature_1, feature_2,
-                              output_level_flow=None):
-        """``sgu_model.forward`` (upflow.py:71-89); returns the refined flow."""
+    def _sgu_pair(self, flow_1, flow_2, feature_1, feature_2,
+                  output_level_flows=None):
+        """Both directions of ``sgu_model.forward`` (upflow.py:71-89).
+
+        Everything stays per-direction at batch B.  Direction-stacking
+        the shared estimator to 2B was measured and REJECTED: XLA:TPU's
+        conv lowering at batch 8 chooses batch-minor layouts that force
+        relayout copies on every producer around the stack boundary
+        (+41 ms on the KITTI bench despite the stacked conv stack itself
+        being ~2x faster standalone — see STATUS_ROUND2.md).
+        """
         fh, fw = feature_1.shape[1:3]
-        if flow_init.shape[1:3] != (fh, fw):
-            flow_init = upsample2d_flow_as(flow_init, (fh, fw), if_rate=True)
-        feature_2_warp = flow_warp_masked(feature_2, flow_init)
-        x = jnp.concatenate([feature_1, feature_2_warp], axis=-1)
-        _, x_out = self.sgu_dense_estimator(x)
-        x_out = x_out.astype(jnp.float32)
-        inter_flow = x_out[..., :2]
-        inter_mask = jax.nn.sigmoid(x_out[..., 2:3])
-        if output_level_flow is not None:
-            oh, ow = output_level_flow.shape[1:3]
-            inter_flow = upsample2d_flow_as(inter_flow, (oh, ow), if_rate=True)
-            inter_mask = upsample2d_as(inter_mask, (oh, ow))
-            flow_init = output_level_flow
-        flow_up = (flow_warp(flow_init, inter_flow) * (1 - inter_mask)
-                   + flow_init * inter_mask)
-        return flow_up
+        if flow_1.shape[1:3] != (fh, fw):
+            flow_1 = upsample2d_flow_as(flow_1, (fh, fw), if_rate=True)
+            flow_2 = upsample2d_flow_as(flow_2, (fh, fw), if_rate=True)
+        outs = []
+        for i, (fl, fa, fb) in enumerate(((flow_1, feature_1, feature_2),
+                                          (flow_2, feature_2, feature_1))):
+            fbw = flow_warp_masked(fb, fl)
+            _, x_out = self.sgu_dense_estimator([fa, fbw])
+            x_out = x_out.astype(jnp.float32)
+            inter_flow = x_out[..., :2]
+            inter_mask = jax.nn.sigmoid(x_out[..., 2:3])
+            flow_init = fl
+            if output_level_flows is not None:
+                oh, ow = output_level_flows[i].shape[1:3]
+                inter_flow = upsample2d_flow_as(inter_flow, (oh, ow),
+                                                if_rate=True)
+                inter_mask = upsample2d_as(inter_mask, (oh, ow))
+                flow_init = output_level_flows[i]
+            outs.append(flow_warp(flow_init, inter_flow) * (1 - inter_mask)
+                        + flow_init * inter_mask)
+        return outs[0], outs[1]
 
     # --- one decoder level ---------------------------------------------------
     def _decode_level(self, level, flow_1, flow_2, feature_1, feature_1_1x1,
                       feature_2, feature_2_1x1):
         """``decode_level_res`` (upflow.py:535-573).
+
+        All per-direction at batch B (direction-stacking the shared conv
+        stacks to 2B was measured and rejected — see ``_sgu_pair``).
 
         Returns (flow_1_up, flow_2_up, res_1, res_2)."""
         c = self.conf
@@ -128,21 +144,19 @@ class UPFlowNet(nn.Module):
             feature_1_warp = feature_1
         else:
             if c.if_sgu_upsample:
-                flow_1_up = self._self_guided_upsample(
-                    flow_1_up, feature_1_1x1, feature_2_1x1)
-                flow_2_up = self._self_guided_upsample(
-                    flow_2_up, feature_2_1x1, feature_1_1x1)
+                flow_1_up, flow_2_up = self._sgu_pair(
+                    flow_1_up, flow_2_up, feature_1_1x1, feature_2_1x1)
             feature_2_warp = flow_warp_masked(feature_2, flow_1_up)
             feature_1_warp = flow_warp_masked(feature_1, flow_2_up)
         if c.if_norm_before_cost_volume:
+            norm_kw = dict(
+                normalize=True, center=True,
+                moments_across_channels=c.norm_moments_across_channels,
+                moments_across_images=c.norm_moments_across_images)
             feature_1, feature_2_warp = normalize_features(
-                (feature_1, feature_2_warp), normalize=True, center=True,
-                moments_across_channels=c.norm_moments_across_channels,
-                moments_across_images=c.norm_moments_across_images)
+                (feature_1, feature_2_warp), **norm_kw)
             feature_2, feature_1_warp = normalize_features(
-                (feature_2, feature_1_warp), normalize=True, center=True,
-                moments_across_channels=c.norm_moments_across_channels,
-                moments_across_images=c.norm_moments_across_images)
+                (feature_2, feature_1_warp), **norm_kw)
         use_pallas = not c.if_use_cor_pytorch
         corr_1 = correlation(feature_1, feature_2_warp, c.search_range,
                              use_pallas=use_pallas)
@@ -152,19 +166,17 @@ class UPFlowNet(nn.Module):
         corr_2 = nn.leaky_relu(corr_2, negative_slope=0.1).astype(self._dtype)
 
         feat_1, res_1 = self.flow_estimators(
-            jnp.concatenate([corr_1, feature_1_1x1,
-                             flow_1_up.astype(self._dtype)], axis=-1))
+            [corr_1, feature_1_1x1, flow_1_up.astype(self._dtype)])
         feat_2, res_2 = self.flow_estimators(
-            jnp.concatenate([corr_2, feature_2_1x1,
-                             flow_2_up.astype(self._dtype)], axis=-1))
+            [corr_2, feature_2_1x1, flow_2_up.astype(self._dtype)])
         res_1 = res_1.astype(jnp.float32)
         res_2 = res_2.astype(jnp.float32)
         fine_1 = self.context_networks(
-            jnp.concatenate([feat_1, (flow_1_up + res_1).astype(self._dtype)],
-                            axis=-1)).astype(jnp.float32)
+            feat_1 + [(flow_1_up + res_1).astype(self._dtype)]
+        ).astype(jnp.float32)
         fine_2 = self.context_networks(
-            jnp.concatenate([feat_2, (flow_2_up + res_2).astype(self._dtype)],
-                            axis=-1)).astype(jnp.float32)
+            feat_2 + [(flow_2_up + res_2).astype(self._dtype)]
+        ).astype(jnp.float32)
         return flow_1_up, flow_2_up, res_1 + fine_1, res_2 + fine_2
 
     # --- full bidirectional forward ------------------------------------------
@@ -202,12 +214,9 @@ class UPFlowNet(nn.Module):
         if c.if_sgu_upsample:
             feature_1_1x1 = self.sgu_output_conv(im1.astype(self._dtype))
             feature_2_1x1 = self.sgu_output_conv(im2.astype(self._dtype))
-            flow_f_out = self._self_guided_upsample(
-                flow_f, feature_1_1x1, feature_2_1x1,
-                output_level_flow=flow_f_out)
-            flow_b_out = self._self_guided_upsample(
-                flow_b, feature_2_1x1, feature_1_1x1,
-                output_level_flow=flow_b_out)
+            flow_f_out, flow_b_out = self._sgu_pair(
+                flow_f, flow_b, feature_1_1x1, feature_2_1x1,
+                output_level_flows=(flow_f_out, flow_b_out))
         return flow_f_out, flow_b_out, flows[::-1]
 
 

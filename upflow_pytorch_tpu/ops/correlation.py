@@ -66,6 +66,11 @@ def correlation(f1: jax.Array, f2: jax.Array, max_displacement: int = 4,
     Pallas kernel additionally requires a TPU backend at trace time.
     """
     if use_pallas and _pallas_available():
-        from upflow_pytorch_tpu.ops.pallas.correlation import correlation_pallas
-        return correlation_pallas(f1, f2, max_displacement=max_displacement)
+        from upflow_pytorch_tpu.ops.pallas.correlation import (
+            correlation_pallas,
+            pallas_corr_viable,
+        )
+        if pallas_corr_viable(f1.shape, max_displacement):
+            return correlation_pallas(f1, f2,
+                                      max_displacement=max_displacement)
     return correlation_xla(f1, f2, max_displacement=max_displacement)

@@ -64,6 +64,29 @@ def _pick_row_tile(h: int) -> int:
     return h
 
 
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def pallas_corr_viable(shape, disp: int = 4,
+                       vmem_budget: int = 13 * 1024 * 1024) -> bool:
+    """Trace-time check that the kernel's VMEM blocks fit the ~16MB scoped
+    limit.  Mosaic pads the minor (lane) dim of every block to 128, so at
+    coarse pyramid levels (W+2D of ~48 lanes padded to 128, whole-H row
+    tiles) the f2 row-stack block alone can exceed the limit; those levels
+    fall back to the XLA path (they are tiny — the Pallas win lives at the
+    two finest levels)."""
+    b, h, w, c = shape
+    k = 2 * disp + 1
+    rt = _pick_row_tile(h)
+    wl = _ceil_to(w + 2 * disp, 128)
+    rt_p = rt if rt % 8 == 0 else _ceil_to(rt, 8)
+    f2_block = c * k * rt_p * wl * 4
+    f1_block = c * rt_p * _ceil_to(w, 128) * 4
+    out_block = k * k * rt_p * _ceil_to(w, 128) * 4
+    return 2 * (f2_block + f1_block + out_block) <= vmem_budget
+
+
 def _corr_fwd_pallas(f1: jax.Array, f2: jax.Array, disp: int) -> jax.Array:
     """NHWC in/out; internally (C,H,W) per batch."""
     b, h, w, c = f1.shape
