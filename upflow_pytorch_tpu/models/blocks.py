@@ -69,15 +69,55 @@ def _pallas_conv_enabled(x, kernel_size: int, stride: int,
     return dd is None or getattr(dd, "platform", "tpu") == "tpu"
 
 
+def _seg_norm(s):
+    """Normalize a segment to (array, live_channels).  Stored width may
+    exceed live width (zero-padded Pallas conv outputs)."""
+    if isinstance(s, tuple):
+        return s
+    return s, int(s.shape[-1])
+
+
+def _group_segments(arrs, reals):
+    """Concatenate consecutive runs of segments whose stored width is not
+    a 128-multiple (the Pallas kernel DMAs each segment, and manual DMA
+    requires 128-aligned channel dims; merging small XLA-produced inputs
+    like [corr81, feat32, flow2] into one 115-channel buffer beats
+    padding each to 128)."""
+    g_arrs, g_reals, run = [], [], []
+    for a, r in zip(arrs, reals):
+        if a.shape[-1] % 128 == 0 and a.shape[-1] > 0:
+            if run:
+                g_arrs.append(jnp.concatenate([x[..., :c] for x, c in run],
+                                              axis=-1) if len(run) > 1
+                              else run[0][0][..., :run[0][1]])
+                g_reals.append(sum(c for _, c in run))
+                run = []
+            g_arrs.append(a)
+            g_reals.append(r)
+        else:
+            run.append((a, r))
+    if run:
+        g_arrs.append(jnp.concatenate([x[..., :c] for x, c in run], axis=-1)
+                      if len(run) > 1 else run[0][0][..., :run[0][1]])
+        g_reals.append(sum(c for _, c in run))
+    return g_arrs, g_reals
+
+
 class ConvBlock(nn.Module):
     """3x3-by-default conv + optional LeakyReLU(0.1).
 
-    ``x`` may be a single NHWC array or a SEQUENCE of arrays to be
-    concatenated along channels: the decoder's DenseNet stacks pass their
-    concat segments unmaterialized, so the Pallas fast path can read each
-    segment directly from HBM (the torch reference materializes every
-    ``cat`` before its conv — on TPU that concat traffic is pure waste),
-    while the XLA path concatenates lazily here with identical numerics.
+    ``x`` may be a single NHWC array or a LIST whose elements are arrays
+    or (array, live_channels) pairs, concatenated along channels: the
+    decoder's DenseNet stacks pass their concat segments unmaterialized,
+    so the Pallas fast path can read each segment directly from HBM (the
+    torch reference materializes every ``cat`` before its conv — on TPU
+    that concat traffic is pure waste), while the XLA path concatenates
+    lazily here with identical numerics.
+
+    ``pad_out=True`` asks for a channel-padded output (zeros to the next
+    128-multiple) as an (array, live) pair when the Pallas path runs, so
+    the next conv in a dense stack can consume it without a re-pad copy;
+    the XLA path ignores it and returns a plain array.
     """
 
     features: int
@@ -88,19 +128,26 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        segments = list(x) if isinstance(x, (list, tuple)) else [x]
-        if _pallas_conv_enabled(segments[0], self.kernel_size, self.stride,
-                                self.dtype):
+    def __call__(self, x, pad_out: bool = False):
+        # a LIST means multiple segments; a bare array or one
+        # (array, live) pair is a single segment
+        segments = list(x) if isinstance(x, list) else [x]
+        arrs, reals = zip(*(_seg_norm(s) for s in segments))
+        if (sum(reals) >= 64
+                and _pallas_conv_enabled(arrs[0], self.kernel_size,
+                                         self.stride, self.dtype)):
             from upflow_pytorch_tpu.ops.pallas.conv import conv3x3_seg
 
-            cin = sum(s.shape[-1] for s in segments)
+            g_arrs, g_reals = _group_segments(arrs, reals)
+            cin = sum(reals)
             kernel, bias = _Conv2DParams(
                 self.features, (3, 3, cin, self.features), name="conv")()
-            return conv3x3_seg(segments, kernel, bias, self.dilation,
-                               self.relu)
-        x = (segments[0] if len(segments) == 1
-             else jnp.concatenate(segments, axis=-1))
+            out = conv3x3_seg(g_arrs, g_reals, kernel, bias, self.dilation,
+                              self.relu, out_pad=pad_out)
+            return (out, self.features) if pad_out else out
+        x = (arrs[0][..., :reals[0]] if len(arrs) == 1
+             else jnp.concatenate([a[..., :r] for a, r in zip(arrs, reals)],
+                                  axis=-1))
         pad = ((self.kernel_size - 1) * self.dilation) // 2
         x = nn.Conv(
             features=self.features,
@@ -151,10 +198,12 @@ class FlowEstimatorDense(nn.Module):
     def __call__(self, x):
         # segments kept as a list (newest first, matching torch
         # ``cat([conv(x), x])``); concat never materializes on the Pallas
-        # path and is built lazily by ConvBlock on the XLA path
+        # path (intermediates stay channel-padded buffers via pad_out)
+        # and is built lazily by ConvBlock on the XLA path
         segs = list(x) if isinstance(x, (list, tuple)) else [x]
         for i, f in enumerate(self.f_channels):
-            y = ConvBlock(f, dtype=self.dtype, name=f"conv{i + 1}")(segs)
+            y = ConvBlock(f, dtype=self.dtype, name=f"conv{i + 1}")(
+                segs, pad_out=True)
             segs = [y] + segs
         out = ConvBlock(self.out_channels, relu=False, dtype=self.dtype,
                         name="conv_last")(segs)
@@ -175,7 +224,7 @@ class ContextNetwork(nn.Module):
         for i, (f, d) in enumerate(zip(self.f_channels, dilations)):
             last = i == len(self.f_channels) - 1
             x = ConvBlock(f, dilation=d, relu=not last, dtype=self.dtype,
-                          name=f"conv{i}")(x)
+                          name=f"conv{i}")(x, pad_out=not last)
         return x
 
 

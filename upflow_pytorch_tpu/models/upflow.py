@@ -61,6 +61,7 @@ from upflow_pytorch_tpu.ops.warp import (
     boundary_dilated_warp,
     flow_warp,
     flow_warp_masked,
+    sgu_blend,
 )
 
 
@@ -93,7 +94,7 @@ class UPFlowNet(nn.Module):
 
     # --- SGU ---------------------------------------------------------------
     def _sgu_pair(self, flow_1, flow_2, feature_1, feature_2,
-                  output_level_flows=None):
+                  output_hw=None):
         """Both directions of ``sgu_model.forward`` (upflow.py:71-89).
 
         Everything stays per-direction at batch B.  Direction-stacking
@@ -102,6 +103,12 @@ class UPFlowNet(nn.Module):
         relayout copies on every producer around the stack boundary
         (+41 ms on the KITTI bench despite the stacked conv stack itself
         being ~2x faster standalone — see STATUS_ROUND2.md).
+
+        With ``output_hw`` (the FINAL upsample, upflow.py:522-530) the
+        full-resolution upsample+warp+blend stage runs as one fused
+        Pallas kernel on TPU — every full-res intermediate otherwise
+        materializes in XLA-chosen layouts that pad the 2-channel flow
+        64x on the lane axis (see ops/pallas/sgu_final.py).
         """
         fh, fw = feature_1.shape[1:3]
         if flow_1.shape[1:3] != (fh, fw):
@@ -113,18 +120,50 @@ class UPFlowNet(nn.Module):
             fbw = flow_warp_masked(fb, fl)
             _, x_out = self.sgu_dense_estimator([fa, fbw])
             x_out = x_out.astype(jnp.float32)
-            inter_flow = x_out[..., :2]
-            inter_mask = jax.nn.sigmoid(x_out[..., 2:3])
-            flow_init = fl
-            if output_level_flows is not None:
-                oh, ow = output_level_flows[i].shape[1:3]
-                inter_flow = upsample2d_flow_as(inter_flow, (oh, ow),
-                                                if_rate=True)
-                inter_mask = upsample2d_as(inter_mask, (oh, ow))
-                flow_init = output_level_flows[i]
-            outs.append(flow_warp(flow_init, inter_flow) * (1 - inter_mask)
-                        + flow_init * inter_mask)
+            if output_hw is not None:
+                outs.append(self._sgu_final(fl, x_out, output_hw))
+            else:
+                inter_flow = x_out[..., :2]
+                inter_mask = jax.nn.sigmoid(x_out[..., 2:3])
+                outs.append(sgu_blend(fl, inter_flow, inter_mask))
         return outs[0], outs[1]
+
+    @staticmethod
+    def _sgu_final(flow_q, x_out, output_hw):
+        """Final-resolution SGU stage for one direction: rate-scaled
+        upsample of flow and inter-flow, sigmoided-mask upsample, blend
+        warp (upflow.py:85-92).  On TPU this runs as ONE fused Pallas
+        kernel whenever the rate-scaled inter-flow fits the warp
+        window (bilinear upsampling cannot exceed the source extrema,
+        so the +-2px bound is checked on the small pre-upsample
+        tensor); exact XLA fallback otherwise and on CPU."""
+        oh, ow = int(output_hw[0]), int(output_hw[1])
+        hq, wq = flow_q.shape[1:3]
+
+        def xla_path(ops):
+            fq, xo = ops
+            flow_out = upsample2d_flow_as(fq, (oh, ow), if_rate=True)
+            inter_flow = upsample2d_flow_as(xo[..., :2], (oh, ow),
+                                            if_rate=True)
+            inter_mask = upsample2d_as(jax.nn.sigmoid(xo[..., 2:3]),
+                                       (oh, ow))
+            return (flow_warp(flow_out, inter_flow) * (1 - inter_mask)
+                    + flow_out * inter_mask)
+
+        from upflow_pytorch_tpu.ops.warp import _pallas_warp_enabled
+
+        if not _pallas_warp_enabled(flow_q):
+            return xla_path((flow_q, x_out))
+
+        from upflow_pytorch_tpu.ops.pallas.sgu_final import sgu_final_pallas
+
+        bound = jnp.float32(2.0)
+        pred = ((jnp.max(jnp.abs(x_out[..., 0])) * (ow / wq) <= bound)
+                & (jnp.max(jnp.abs(x_out[..., 1])) * (oh / hq) <= bound))
+        return jax.lax.cond(
+            pred,
+            lambda ops: sgu_final_pallas(ops[0], ops[1], (oh, ow)),
+            xla_path, (flow_q, x_out))
 
     # --- one decoder level ---------------------------------------------------
     def _decode_level(self, level, flow_1, flow_2, feature_1, feature_1_1x1,
@@ -208,15 +247,17 @@ class UPFlowNet(nn.Module):
             flow_b = flow_b_up + res_b
             flows.append((flow_f, flow_b))
 
-        flow_f_out = upsample2d_flow_as(flow_f, (height, width), if_rate=True)
-        flow_b_out = upsample2d_flow_as(flow_b, (height, width), if_rate=True)
-
         if c.if_sgu_upsample:
             feature_1_1x1 = self.sgu_output_conv(im1.astype(self._dtype))
             feature_2_1x1 = self.sgu_output_conv(im2.astype(self._dtype))
             flow_f_out, flow_b_out = self._sgu_pair(
                 flow_f, flow_b, feature_1_1x1, feature_2_1x1,
-                output_level_flows=(flow_f_out, flow_b_out))
+                output_hw=(height, width))
+        else:
+            flow_f_out = upsample2d_flow_as(flow_f, (height, width),
+                                            if_rate=True)
+            flow_b_out = upsample2d_flow_as(flow_b, (height, width),
+                                            if_rate=True)
         return flow_f_out, flow_b_out, flows[::-1]
 
 

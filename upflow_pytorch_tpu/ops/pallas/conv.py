@@ -1,0 +1,341 @@
+"""Segmented 3x3/stride-1 Pallas conv for the decoder's dense stacks.
+
+Replaces the reference's materialize-concat-then-conv pattern
+(/root/reference/model/pwc_modules.py:250-286,396-412 — torch ``cat`` then
+``nn.Conv2d``) with a kernel that reads each concat SEGMENT directly from
+HBM, so the DenseNet concats never materialize, and computes the 9-tap
+conv as MXU matmuls:
+
+  - per grid step (one (tile_h, tile_w) output tile of one batch item)
+    the kernel DMAs, for every input segment, the (tile_h + 2d)-row slab
+    it needs into VMEM (double-buffered across grid steps; halos overlap
+    so BlockSpec blocks cannot express them);
+  - for each row tap ky and segment s: ONE ``dot_general`` contracts the
+    slab's channel dim against w[ky, kx] (no im2col copy — the 3D slab
+    view is consumed directly);
+  - the three column taps kx reuse the same matmuls on the full slab
+    width and combine by rolling the narrow fp32 accumulator
+    (cost: a few % extra matmul columns, two rolls);
+  - bias + optional LeakyReLU(0.1) fuse into the epilogue.
+
+Inputs are cast to bf16 for the MXU (fp32 accumulation) — this is the
+bfloat16 compute path; fp32-exact models keep the XLA conv.  Measured
+(v5e, B=4, 96x320): 565->128 at ~79 TFLOP/s vs ~35-52 for XLA:TPU's conv
+at batch 4.  (At batch 8 XLA reaches ~178 TFLOP/s, but batch-8 convs
+in-graph force batch-minor relayouts through the surrounding graph —
+see STATUS_ROUND2.md — so the model runs per-direction at B=4.)
+
+The op carries a custom VJP that computes gradients with plain XLA convs
+on the materialized concat (transposed-kernel conv for d_x, per-tap
+einsums for d_w), so training gradients are exact and well-tested while
+the kernel stays inference-shaped.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 8 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
+
+
+def _ceil_to(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _seg_kernel(*refs, tile_h: int, tile_w: int, dilation: int,
+                seg_ch, cout: int, relu: bool, tap_pack: bool):
+    """Grid (B, H/tile_h, W/tile_w).
+
+    refs: [x_0 .. x_{S-1}] (HBM, padded), w (VMEM, (3, 3, Cin_tot, cout)),
+          b (VMEM, (1, cout)), out (VMEM block), then scratch:
+          [slab_0 .. slab_{S-1}] (VMEM (2, tile_h+2d, slab_w, C_s)), sems
+          ((S, 2) DMA semaphores).
+    """
+    n_seg = len(seg_ch)
+    x_refs = refs[:n_seg]
+    w_ref = refs[n_seg]
+    b_ref = refs[n_seg + 1]
+    out_ref = refs[n_seg + 2]
+    slabs = refs[n_seg + 3:n_seg + 3 + n_seg]
+    sems = refs[n_seg + 3 + n_seg]
+
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    n_i = pl.num_programs(1)
+    n_j = pl.num_programs(2)
+    d = dilation
+    slab_w = _ceil_to(tile_w + 2 * d, 8)
+    step = (bi * n_i + ti) * n_j + tj
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    def start_copies(b_, ti_, tj_, slot_):
+        row0 = ti_ * tile_h
+        col0 = pl.multiple_of(tj_ * tile_w, 8)
+        for s in range(n_seg):
+            pltpu.make_async_copy(
+                x_refs[s].at[b_, pl.ds(row0, tile_h + 2 * d),
+                             pl.ds(col0, slab_w)],
+                slabs[s].at[slot_],
+                sems.at[s, slot_],
+            ).start()
+
+    @pl.when(step == 0)
+    def _():
+        start_copies(bi, ti, tj, slot)
+
+    last = step == pl.num_programs(0) * n_i * n_j - 1
+
+    @pl.when(jnp.logical_not(last))
+    def _():
+        nstep = step + 1
+        nj_ = jax.lax.rem(nstep, n_j)
+        ni_ = jax.lax.rem(nstep // n_j, n_i)
+        nb_ = nstep // (n_i * n_j)
+        start_copies(nb_, ni_, nj_, nxt)
+
+    for s in range(n_seg):
+        pltpu.make_async_copy(
+            x_refs[s].at[bi, pl.ds(0, tile_h + 2 * d), pl.ds(0, slab_w)],
+            slabs[s].at[slot], sems.at[s, slot]).wait()
+
+    dn = (((2,), (0,)), ((), ()))
+    ch0 = [0]
+    for c in seg_ch[:-1]:
+        ch0.append(ch0[-1] + c)
+    if not tap_pack:
+        # wide-cout path: per (ky, segment) dot at N=cout; column taps
+        # combined by rolling the fp32 accumulator
+        accs = []
+        for kx in range(3):
+            acc = None
+            for ky in range(3):
+                for s, cs in enumerate(seg_ch):
+                    lhs = slabs[s][slot, ky * d:ky * d + tile_h]
+                    wseg = w_ref[ky, kx, ch0[s]:ch0[s] + cs]
+                    z = jax.lax.dot_general(
+                        lhs, wseg, dn, preferred_element_type=jnp.float32)
+                    acc = z if acc is None else acc + z
+            accs.append(acc)
+        acc = accs[0][:, 0:tile_w]
+        for kx in (1, 2):
+            z = pltpu.roll(accs[kx], slab_w - kx * d, 1)
+            acc = acc + z[:, 0:tile_w]
+    else:
+        # small-cout path: ONE dot per segment over the whole slab with
+        # all 9 taps packed along N (w laid out (Cin_tot, 9*cout_p));
+        # taps then combine by row slices (untiled dim), sublane rolls
+        # (column offset) and lane rolls (tap block -> block 0).  This
+        # sidesteps XLA:TPU's tiny-N conv pathology (cout=2 convs
+        # measured at 1 TFLOP/s there).
+        n_pack = w_ref.shape[-1]
+        z = None
+        for s, cs in enumerate(seg_ch):
+            lhs = slabs[s][slot]  # (tile_h + 2d, slab_w, cs)
+            wseg = w_ref[ch0[s]:ch0[s] + cs]
+            zz = jax.lax.dot_general(lhs, wseg, dn,
+                                     preferred_element_type=jnp.float32)
+            z = zz if z is None else z + zz
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_pack), 2)
+        acc = jnp.zeros((tile_h, tile_w, n_pack), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                t = ky * 3 + kx
+                zz = z[ky * d:ky * d + tile_h]
+                if kx:
+                    zz = pltpu.roll(zz, slab_w - kx * d, 1)
+                zz = zz[:, 0:tile_w]
+                if t:
+                    zz = pltpu.roll(zz, n_pack - t * cout, 2)
+                acc = acc + jnp.where(lane < cout, zz, 0.0)
+        acc = acc[:, :, :out_ref.shape[-1]]
+    acc = acc + b_ref[0].astype(jnp.float32)[None, None, :]
+    if relu:
+        acc = jnp.where(acc >= 0, acc, acc * 0.1)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _pick_tiles(h: int, w: int, d: int, seg_ch, cout_l: int,
+                n_pack: int):
+    """(tile_h, tile_w) sized to the VMEM budget.  tile_w is a multiple
+    of 8 so every tile's slab start column is 8-aligned."""
+    for tile_h in ((16, 8) if h >= 16 else (8,)):
+        for n in range(1, 65):
+            tw = _ceil_to(-(-w // n), 8)
+            sw = _ceil_to(tw + 2 * d, 8)
+            slabs = 2 * (tile_h + 2 * d) * sw * sum(seg_ch) * 2
+            wmem = 9 * sum(seg_ch) * cout_l * 2
+            if n_pack:
+                # z + acc + rolled temporaries (row-slice, sublane roll,
+                # lane roll may be live simultaneously)
+                work = ((tile_h + 2 * d) * sw * n_pack * 4
+                        + 4 * tile_h * tw * n_pack * 4)
+                wmem = sum(seg_ch) * n_pack * 2
+            else:
+                work = (3 * tile_h * sw * cout_l * 4
+                        + tile_h * tw * cout_l * 4)
+            if slabs + work + wmem <= _VMEM_BUDGET:
+                return tile_h, tw
+    raise ValueError(f"no feasible tiling h={h} w={w} segs={seg_ch}")
+
+
+def _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation: int, relu: bool,
+                     out_pad: bool):
+    bsz, h, wd, _ = inputs[0].shape
+    cout = w.shape[-1]
+    cout_l = _ceil_to(cout, 128)
+    d = dilation
+    # every DMA'd buffer needs its minor (channel) dim 128-aligned:
+    # manual-DMA slices must be tile-aligned in their last two dims.
+    # Segments whose stored width is already a 128-multiple (outputs of
+    # this kernel with out_pad=True) are consumed as-is; others get one
+    # channel pad here.  real_chs gives the live channels per segment
+    # (pad channels pair with zero weight rows, contributing nothing).
+    seg_store = [int(x.shape[-1]) for x in inputs]
+    seg_ch = [_ceil_to(c, 128) for c in seg_store]
+    # small-cout convs pack all 9 taps along N (see _seg_kernel); the
+    # wide-cout path would pad N to 128 per tap-free dot instead
+    tap_pack = cout < 96
+    n_pack = _ceil_to(9 * cout, 128) if tap_pack else 0
+    tile_h, tile_w = _pick_tiles(h, wd, d, seg_ch, cout_l, n_pack)
+    hp = _ceil_to(h, tile_h)
+    wp = _ceil_to(wd, tile_w)
+    slab_w = _ceil_to(tile_w + 2 * d, 8)
+
+    xps = [jnp.pad(x.astype(jnp.bfloat16),
+                   ((0, 0), (d, d + (hp - h) + tile_h),
+                    (d, d + (wp - wd) + 8), (0, cp - cs)))
+           for x, cs, cp in zip(inputs, seg_store, seg_ch)]
+    wsegs, off = [], 0
+    for c, cp in zip(real_chs, seg_ch):
+        wsegs.append(jnp.pad(w[:, :, off:off + c],
+                             ((0, 0), (0, 0), (0, cp - c), (0, 0))))
+        off += c
+    wcat = jnp.concatenate(wsegs, axis=2)  # (3, 3, sum(seg_ch), cout)
+    if tap_pack:
+        # (Cin_tot, 9*cout) with tap-major blocks t = ky*3 + kx
+        wb = wcat.transpose(2, 0, 1, 3).reshape(sum(seg_ch), 9 * cout)
+        wb = jnp.pad(wb, ((0, 0), (0, n_pack - 9 * cout))
+                     ).astype(jnp.bfloat16)
+    else:
+        wb = jnp.pad(wcat, ((0, 0), (0, 0), (0, 0), (0, cout_l - cout))
+                     ).astype(jnp.bfloat16)
+    bb = jnp.pad(b.astype(jnp.float32), (0, cout_l - cout)).reshape(1, cout_l)
+
+    grid = (bsz, hp // tile_h, wp // tile_w)
+    out = pl.pallas_call(
+        functools.partial(_seg_kernel, tile_h=tile_h, tile_w=tile_w,
+                          dilation=d, seg_ch=tuple(seg_ch),
+                          cout=cout if tap_pack else cout_l,
+                          relu=relu, tap_pack=tap_pack),
+        grid=grid,
+        in_specs=([pl.BlockSpec(memory_space=pltpu.HBM)] * len(inputs)
+                  + [pl.BlockSpec(wb.shape,
+                                  lambda bi, i, j: (0,) * wb.ndim,
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, cout_l), lambda bi, i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)]),
+        out_specs=pl.BlockSpec((1, tile_h, tile_w, cout_l),
+                               lambda bi, i, j: (bi, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, cout_l),
+                                       inputs[0].dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((2, tile_h + 2 * d, slab_w, c), jnp.bfloat16)
+             for c in seg_ch]
+            + [pltpu.SemaphoreType.DMA((len(inputs), 2))]),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * hp * wp * sum(seg_ch) * cout_l * 9,
+            bytes_accessed=2 * bsz * hp * wp * (sum(seg_ch) + cout_l),
+            transcendentals=0),
+    )(*xps, wb, bb)
+    if out_pad:
+        return out[:, :h, :wd, :]
+    return out[:, :h, :wd, :cout]
+
+
+def _xla_conv(x, w, stride=1, dilation=1):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    pad = dilation  # 3x3 SAME
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (stride, stride), ((pad, pad), (pad, pad)),
+        rhs_dilation=(dilation, dilation), dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _conv3x3_seg_op(inputs, w, b, real_chs, dilation: int, relu: bool,
+                    out_pad: bool):
+    return _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation, relu, out_pad)
+
+
+def _fwd(inputs, w, b, real_chs, dilation, relu, out_pad):
+    out = _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation, relu, out_pad)
+    return out, (inputs, w, out if relu else None)
+
+
+def _bwd(real_chs, dilation, relu, res, g):
+    inputs, w, out = res
+    cout = w.shape[-1]
+    g = g[..., :cout].astype(jnp.float32)
+    if relu:
+        g = jnp.where(out[..., :cout] >= 0, g, g * 0.1)
+    # backward on the materialized REAL-channel concat (training path;
+    # gradients exact for the same primal values)
+    x = jnp.concatenate(
+        [t[..., :c] for t, c in zip(inputs, real_chs)],
+        axis=-1).astype(jnp.bfloat16)
+    gb = g.astype(jnp.bfloat16)
+    # d_x: conv of g with spatially-flipped, io-transposed kernel
+    w_t = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2).astype(jnp.bfloat16)
+    d_x = _xla_conv(gb, w_t, dilation=dilation)
+    # d_w[ky,kx,ci,co] = sum_{b,y,x} xpad[b,y+ky*d,x+kx*d,ci] * g[b,y,x,co]
+    d = dilation
+    bsz, h, wd, cin = x.shape
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    taps = []
+    for ky in range(3):
+        for kx in range(3):
+            xs = jax.lax.dynamic_slice(
+                xp, (0, ky * d, kx * d, 0), (bsz, h, wd, cin))
+            taps.append(jnp.einsum("bhwi,bhwo->io", xs, gb,
+                                   preferred_element_type=jnp.float32))
+    d_w = jnp.stack(taps).reshape(3, 3, cin, -1).astype(w.dtype)
+    d_b = jnp.sum(g, axis=(0, 1, 2)).astype(jnp.float32)
+    # split d_x back into (stored-width, zero-padded) segment grads
+    splits, off = [], 0
+    for t, c in zip(inputs, real_chs):
+        gseg = d_x[..., off:off + c]
+        store = int(t.shape[-1])
+        if store != c:
+            gseg = jnp.pad(gseg, ((0, 0), (0, 0), (0, 0), (0, store - c)))
+        splits.append(gseg.astype(t.dtype))
+        off += c
+    return tuple(splits), d_w, d_b
+
+
+_conv3x3_seg_op.defvjp(_fwd, _bwd)
+
+
+def conv3x3_seg(inputs, real_chs, w, b, dilation: int = 1,
+                relu: bool = True, out_pad: bool = False):
+    """bf16 3x3/stride-1 conv over unconcatenated channel segments.
+
+    inputs: (B, H, W, C_i^store) arrays whose first real_chs[i] channels
+    are live (stored width may exceed the live width by zero padding —
+    outputs of this op with ``out_pad=True``); w: (3, 3, sum(real_chs),
+    Cout); b: (Cout,).  Computes conv(concat(live channels)) + bias
+    (+LeakyReLU(0.1)), bf16 matmuls / fp32 accumulation, without
+    materializing the concat.  ``out_pad=True`` returns the output with
+    its channel dim padded to a 128-multiple (zeros beyond Cout) so a
+    downstream conv3x3_seg can DMA it without a re-pad copy.
+    """
+    return _conv3x3_seg_op(tuple(inputs), w, b, tuple(real_chs), dilation,
+                           relu, out_pad)

@@ -348,11 +348,11 @@ def _shift_window_warp_planes(planes, px, py, wyds=None, wxds=None,
     pad = r + 2
     if wyds is None:
         wyds, wxds = _tap_weights(px, py, w, h, r)
-    ky, kx = list(wyds), list(wxds)
-    flat = jax.lax.optimization_barrier(
-        [wyds[k] for k in ky] + [wxds[k] for k in kx])
-    wyds = dict(zip(ky, flat[:len(ky)]))
-    wxds = dict(zip(kx, flat[len(ky):]))
+        ky, kx = list(wyds), list(wxds)
+        flat = jax.lax.optimization_barrier(
+            [wyds[k] for k in ky] + [wxds[k] for k in kx])
+        wyds = dict(zip(ky, flat[:len(ky)]))
+        wxds = dict(zip(kx, flat[len(ky):]))
     outs = []
     for pl in planes:
         plp = jnp.pad(pl.astype(jnp.float32),
@@ -403,6 +403,44 @@ def _warp_auto(x: jax.Array, flow: jax.Array) -> jax.Array:
     outs = jax.lax.cond(_small_flow_pred(flow), small, large,
                         (px, py, planes))
     return jnp.stack(outs, axis=-1)
+
+
+def sgu_blend(flow_init: jax.Array, inter_flow: jax.Array,
+              inter_mask: jax.Array) -> jax.Array:
+    """SGU blend ``warp(flow_init, inter_flow)*(1-m) + flow_init*m``
+    (sgu_model.forward, /root/reference/model/upflow.py:88).
+
+    On TPU the common case (|inter_flow| within the shift-warp window —
+    SGU refinements are ~1px) runs as ONE fused Pallas kernel over
+    planar components, bit-exact vs the XLA gather path (see
+    ops/pallas/blend.py for why: XLA lays full-res (B, H, W, 2)
+    intermediates out 64x padded and mis-fuses the tap loop, profiled
+    at 11.3 ms/direction vs 0.5 ms for the kernel at KITTI size).
+    Larger refinements take the exact XLA gather inside the same cond.
+    """
+    if not _pallas_warp_enabled(flow_init):
+        return (flow_warp(flow_init, inter_flow) * (1 - inter_mask)
+                + flow_init * inter_mask)
+    u = flow_init[..., 0].astype(jnp.float32)
+    v = flow_init[..., 1].astype(jnp.float32)
+    iu = inter_flow[..., 0].astype(jnp.float32)
+    iv = inter_flow[..., 1].astype(jnp.float32)
+    m = inter_mask[..., 0].astype(jnp.float32)
+
+    def fast(ops):
+        from upflow_pytorch_tpu.ops.pallas.blend import sgu_blend_pallas
+        return sgu_blend_pallas(*ops)
+
+    def slow(ops):
+        u_, v_, iu_, iv_, m_ = ops
+        px, py = _abs_coords_torch_grid(jnp.stack([iu_, iv_], axis=-1))
+        wpd, _ = _bilinear_zero_pad(jnp.stack([u_, v_], axis=-1), px, py)
+        return (wpd[..., 0] * (1 - m_) + u_ * m_,
+                wpd[..., 1] * (1 - m_) + v_ * m_)
+
+    ou, ov = jax.lax.cond(_small_flow_pred(inter_flow), fast, slow,
+                          (u, v, iu, iv, m))
+    return jnp.stack([ou, ov], axis=-1).astype(flow_init.dtype)
 
 
 def flow_warp(x: jax.Array, flow: jax.Array) -> jax.Array:
