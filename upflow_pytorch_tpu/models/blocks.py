@@ -133,6 +133,12 @@ class ConvBlock(nn.Module):
         # (array, live) pair is a single segment
         segments = list(x) if isinstance(x, list) else [x]
         arrs, reals = zip(*(_seg_norm(s) for s in segments))
+        # NOTE: standalone, XLA's bf16 conv wins the wide-cout/medium-K
+        # shapes (115->128: 108 TF vs Pallas 42) — but a mixed dispatch
+        # (XLA for those, Pallas for the rest) measured SLOWER end to
+        # end (95.2 vs 87.9 ms): in-graph the XLA convs drag relayout
+        # copies into the decode loop.  All decoder convs stay on the
+        # Pallas kernel.
         if (sum(reals) >= 64
                 and _pallas_conv_enabled(arrs[0], self.kernel_size,
                                          self.stride, self.dtype)):
