@@ -186,7 +186,7 @@ def _pick_tiles(h: int, w: int, d: int, seg_ch, cout_l: int,
 
 
 def _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation: int, relu: bool,
-                     out_pad: bool):
+                     out_pad: bool, interpret: bool = False):
     bsz, h, wd, _ = inputs[0].shape
     cout = w.shape[-1]
     cout_l = _ceil_to(cout, 128)
@@ -254,6 +254,7 @@ def _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation: int, relu: bool,
             flops=2 * bsz * hp * wp * sum(seg_ch) * cout_l * 9,
             bytes_accessed=2 * bsz * hp * wp * (sum(seg_ch) + cout_l),
             transcendentals=0),
+        interpret=interpret,
     )(*xps, wb, bb)
     if out_pad:
         return out[:, :h, :wd, :]
@@ -270,18 +271,20 @@ def _xla_conv(x, w, stride=1, dilation=1):
         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _conv3x3_seg_op(inputs, w, b, real_chs, dilation: int, relu: bool,
-                    out_pad: bool):
-    return _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation, relu, out_pad)
+                    out_pad: bool, interpret: bool):
+    return _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation, relu, out_pad,
+                            interpret)
 
 
-def _fwd(inputs, w, b, real_chs, dilation, relu, out_pad):
-    out = _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation, relu, out_pad)
+def _fwd(inputs, w, b, real_chs, dilation, relu, out_pad, interpret):
+    out = _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation, relu, out_pad,
+                           interpret)
     return out, (inputs, w, out if relu else None)
 
 
-def _bwd(real_chs, dilation, relu, res, g):
+def _bwd(real_chs, dilation, relu, out_pad, interpret, res, g):
     inputs, w, out = res
     cout = w.shape[-1]
     g = g[..., :cout].astype(jnp.float32)
@@ -325,7 +328,8 @@ _conv3x3_seg_op.defvjp(_fwd, _bwd)
 
 
 def conv3x3_seg(inputs, real_chs, w, b, dilation: int = 1,
-                relu: bool = True, out_pad: bool = False):
+                relu: bool = True, out_pad: bool = False,
+                interpret: bool = False):
     """bf16 3x3/stride-1 conv over unconcatenated channel segments.
 
     inputs: (B, H, W, C_i^store) arrays whose first real_chs[i] channels
@@ -338,4 +342,4 @@ def conv3x3_seg(inputs, real_chs, w, b, dilation: int = 1,
     downstream conv3x3_seg can DMA it without a re-pad copy.
     """
     return _conv3x3_seg_op(tuple(inputs), w, b, tuple(real_chs), dilation,
-                           relu, out_pad)
+                           relu, out_pad, interpret)
