@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
+_VMEM_BUDGET = 14 * 1024 * 1024  # scoped-vmem limit is 16M; leave headroom
 
 
 def _ceil_to(v: int, m: int) -> int:
@@ -165,7 +165,9 @@ def _pick_tiles(h: int, w: int, d: int, seg_ch, cout_l: int,
                 n_pack: int):
     """(tile_h, tile_w) sized to the VMEM budget.  tile_w is a multiple
     of 8 so every tile's slab start column is 8-aligned."""
-    for tile_h in ((16, 8) if h >= 16 else (8,)):
+    # tile_h fixed at 8: identical spatial pads of shared dense-stack
+    # segments across consumer convs then CSE into one copy
+    for tile_h in ((8,) if h >= 8 else (8,)):
         for n in range(1, 65):
             tw = _ceil_to(-(-w // n), 8)
             sw = _ceil_to(tw + 2 * d, 8)
