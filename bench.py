@@ -13,11 +13,30 @@ documented engineering estimate of the reference PyTorch model's V100
 inference rate at this resolution (bidirectional PWC decoder + CUDA
 correlation, fp32): ~25 pairs/s.  vs_baseline = value / estimate, so the
 driver's ">=5x V100" bar corresponds to vs_baseline >= 5.
+
+Measurement method: a device-side chained loop (ITERS forwards
+back-to-back inside one jit, each consuming an input perturbed by the
+previous result so nothing is memoized, one host sync at the end) —
+through this environment's TPU relay a per-batch host round-trip costs
+~27 ms and would swamp per-batch timing; production serving pipelines
+batches without a per-batch sync.  The loop's dispatch + relay overhead
+is MEASURED in-run by timing an identically-shaped no-op loop, and the
+reported time is the median of several timed invocations.
+
+SGU branch handling: the final SGU stage dispatches at runtime between a
+fused Pallas kernel (inter-flow within its +-2px warp window — the
+trained-checkpoint regime, where SGU refinements are ~1px) and an exact
+XLA fallback.  The bench measures BOTH branch outcomes and reports both;
+the headline number uses weights in the in-window regime (trained
+checkpoint if present at BENCH_CKPT, else the documented head-scale
+surrogate), and the fallback timing is carried in the JSON so the
+out-of-window cost is never hidden.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -29,13 +48,80 @@ BASELINE_V100_PAIRS_PER_SEC = 25.0
 
 BATCH = 4  # measured sweet spot on v5e (B=8 regresses on HBM pressure)
 HEIGHT, WIDTH = 384, 1280
-WARMUP = 3
 ITERS = 20
+TIMED_RUNS = 3
+
+# optional trained weights (produced in-environment by
+# scripts/train_synthetic.py; see docs/STATUS_ROUND3.md)
+BENCH_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "assets", "synthetic_trained.npz")
+
+
+def _timed_loop_fn(fwd):
+    @jax.jit
+    def k_steps(params, a, b, salt):
+        def body(i, acc):
+            out = fwd(params, a + (acc * 1e-12 + salt * 1e-9), b)
+            return acc + out
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    return k_steps
+
+
+def _measure(k_steps, params, im1, im2):
+    """Median wall time of TIMED_RUNS chained-loop invocations."""
+    float(k_steps(params, im1, im2, jnp.float32(1.0)))  # compile+warm
+    times = []
+    for i in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        float(k_steps(params, im1, im2, jnp.float32(2.0 + i)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def _dispatch_overhead():
+    """Measured cost of one chained-loop dispatch + host sync with ~zero
+    device work: bounds the relay/dispatch overhead baked into _measure."""
+    @jax.jit
+    def k_noop(salt):
+        def body(i, acc):
+            return acc + salt * jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    float(k_noop(jnp.float32(1.0)))
+    times = []
+    for i in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        float(k_noop(jnp.float32(2.0 + i)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def _load_params(conf, scale_sgu_head=None):
+    from upflow_pytorch_tpu.models.upflow import init_params
+
+    # init on CPU (eager init over the remote-TPU relay would do one RPC
+    # per op), then transfer the param tree to the accelerator once.
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_params(conf, jax.random.PRNGKey(0))
+    used_ckpt = False
+    if os.path.exists(BENCH_CKPT):
+        from upflow_pytorch_tpu.checkpoint.npz_io import load_params_npz
+        params = load_params_npz(BENCH_CKPT, params)
+        used_ckpt = True
+    if scale_sgu_head is not None:
+        cl = params["params"]["sgu_dense_estimator"]["dense"]["conv_last"]["conv"]
+        cl = dict(cl, kernel=cl["kernel"] * scale_sgu_head)
+        params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+        params["params"]["sgu_dense_estimator"]["dense"]["conv_last"]["conv"] = cl
+    return params, used_ckpt
 
 
 def main():
     from upflow_pytorch_tpu.config import UPFlowConfig
-    from upflow_pytorch_tpu.models.upflow import build_model, init_params
+    from upflow_pytorch_tpu.models.upflow import build_model
 
     base = dict(
         if_norm_before_cost_volume=True,
@@ -50,22 +136,21 @@ def main():
     conf_fp32 = UPFlowConfig().updated(dict(base, if_use_cor_pytorch=True))
     model = build_model(conf)
     model_fp32 = build_model(conf_fp32)
-    # init on CPU (eager init over the remote-TPU relay would do one RPC
-    # per op), then transfer the param tree to the accelerator once.
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = init_params(conf, jax.random.PRNGKey(0))
-    # Put the SGU refinement head in its trained-checkpoint regime:
-    # trained UPFlow produces ~1px inter-flow refinements, which is the
-    # data-dependent branch the fused final-SGU kernel serves; random
-    # Kaiming init yields unrealistically large inter-flows that would
-    # bench the out-of-window fallback path instead of the production
-    # path (see models/upflow.py::_sgu_final).
-    cl = params["params"]["sgu_dense_estimator"]["dense"]["conv_last"]["conv"]
-    cl["kernel"] = cl["kernel"] * 0.02
-    device = jax.devices()[0]
-    params = jax.device_put(params, device)
 
-    @jax.jit
+    device = jax.devices()[0]
+    # in-window params: trained checkpoint if present, else the 0.02
+    # head-scale surrogate for the trained regime (~1px SGU inter-flows)
+    params_in, used_ckpt = _load_params(
+        conf, scale_sgu_head=None if os.path.exists(BENCH_CKPT) else 0.02)
+    params_in = jax.device_put(params_in, device)
+    # out-of-window params: raw Kaiming init (inter-flows tens of px) —
+    # guarantees the XLA fallback branch for the fallback timing
+    params_out, _ = _load_params(conf, scale_sgu_head=None)
+    if used_ckpt:
+        # force out-of-window by inflating the head
+        params_out, _ = _load_params(conf, scale_sgu_head=100.0)
+    params_out = jax.device_put(params_out, device)
+
     def fwd(params, im1, im2):
         flow_f, flow_b, _ = model.apply(params, im1, im2)
         # reduce to a scalar so each timed iteration ends with a real
@@ -93,35 +178,26 @@ def main():
                          device)
     im2 = jax.device_put(rng.rand(BATCH, HEIGHT, WIDTH, 3).astype(np.float32),
                          device)
-    # device-side chained loop: ITERS forwards back-to-back inside ONE
-    # jit, each consuming an input perturbed by the previous result (so
-    # nothing can be memoized), with a single host sync at the end.
-    # This measures true device throughput; a per-iteration host
-    # round-trip through this environment's TPU relay costs ~27 ms and
-    # would swamp the measurement (production serving pipelines batches
-    # without a host sync per batch).
-    @jax.jit
-    def k_steps(params, a, b, salt):
-        def body(i, acc):
-            out = fwd(params, a + (acc * 1e-12 + salt * 1e-9), b)
-            return acc + out
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
 
-    float(k_steps(params, im1, im2, jnp.float32(1.0)))  # compile+warm
-    t0 = time.perf_counter()
-    float(k_steps(params, im1, im2, jnp.float32(2.0)))
-    dt = time.perf_counter() - t0 - 0.03  # one relay round-trip
+    k_steps = _timed_loop_fn(fwd)
+    overhead = _dispatch_overhead()
+    dt_in = max(_measure(k_steps, params_in, im1, im2) - overhead, 1e-9)
+    dt_out = max(_measure(k_steps, params_out, im1, im2) - overhead, 1e-9)
 
-    pairs_per_sec = BATCH * ITERS / dt
+    pairs_per_sec = BATCH * ITERS / dt_in
+    pairs_per_sec_fallback = BATCH * ITERS / dt_out
 
     # bf16-vs-fp32 parity gate (same weights, same inputs): max abs flow
     # component error and mean-flow-magnitude (synthetic EPE) delta
-    mean_e, frac_gt1, max_e, epe_d = flows_pair(params, im1, im2)
+    mean_e, frac_gt1, max_e, epe_d = flows_pair(params_in, im1, im2)
     print(json.dumps({
         "metric": "kitti2015_inference_throughput_384x1280_bf16_bidir",
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec / BASELINE_V100_PAIRS_PER_SEC, 3),
+        "sgu_fallback_pairs_per_sec": round(pairs_per_sec_fallback, 3),
+        "loop_dispatch_overhead_s": round(overhead, 4),
+        "weights": "synthetic_trained" if used_ckpt else "kaiming+sgu_scale",
         "bf16_vs_fp32_mean_epe_px": round(float(mean_e), 4),
         "bf16_vs_fp32_frac_gt_1px": round(float(frac_gt1), 5),
         "bf16_vs_fp32_max_epe_px": round(float(max_e), 2),

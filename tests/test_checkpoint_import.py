@@ -72,14 +72,105 @@ def test_pth_roundtrip_via_zip_format(params, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
-def test_legacy_serialization_fallback(params, tmp_path):
+def test_legacy_serialization_native_parser(params, tmp_path, monkeypatch):
+    """The pre-1.6 stream (what torch 1.1 wrote for upflow_kitti2015.pth)
+    parses natively, with torch IMPORT BLOCKED, byte-identical to the zip
+    path."""
     sd = params_to_torch_state_dict(params)
     torch_sd = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}
-    path = str(tmp_path / "legacy.pth")
-    torch.save(torch_sd, path, _use_new_zipfile_serialization=False)
-    loaded = load_torch_state_dict(path)
+    legacy_path = str(tmp_path / "legacy.pth")
+    zip_path = str(tmp_path / "zip.pth")
+    torch.save(torch_sd, legacy_path, _use_new_zipfile_serialization=False)
+    torch.save(torch_sd, zip_path)
+
+    # the parser must not touch torch at all
+    import builtins
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **kw):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch blocked for this test")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    loaded = load_torch_state_dict(legacy_path)
+    via_zip = load_torch_state_dict(zip_path)
+    monkeypatch.setattr(builtins, "__import__", real_import)
+
+    assert set(loaded) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(loaded[k], sd[k])
+        assert loaded[k].tobytes() == via_zip[k].tobytes(), k
+        assert loaded[k].dtype == via_zip[k].dtype
+
+
+def test_legacy_shared_storage_and_views(tmp_path):
+    """Legacy quirks: two tensors sharing one storage (dedup through the
+    root key) and non-trivial storage_offset/stride views."""
+    base = torch.arange(24, dtype=torch.float32)
+    sd = {
+        "a": base.view(4, 6),
+        "b": base.view(4, 6),            # same storage, second reference
+        "c": base[6:18].view(3, 4),      # storage_offset=6
+        "d": base.view(4, 6).t(),        # non-contiguous stride
+        "e": torch.arange(10, dtype=torch.int64),
+    }
+    path = str(tmp_path / "views.pth")
+    torch.save(sd, path, _use_new_zipfile_serialization=False)
+    loaded = load_torch_state_dict(path)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(loaded[k], v.numpy())
+
+
+def test_legacy_storage_view_metadata(tmp_path):
+    """Hand-craft a stream whose persistent id carries the pre-1.6
+    view_metadata field ((view_key, element_offset, numel)) — torch 1.1
+    emitted these for tensors sharing slices of one storage; modern torch
+    no longer writes them, so the fixture is constructed directly."""
+    import io
+    import pickle
+    import struct
+
+    import torch._utils as _tu
+
+    root = np.arange(12, dtype=np.float32)
+    root_pid = ("storage", "FloatStorage", "0", "cpu", 12, None)
+    # view of elements [4:10) of the root storage
+    view_pid = ("storage", "FloatStorage", "0", "cpu", 12, ("0_view", 4, 6))
+
+    class _Tensor:
+        def __init__(self, pid, size, stride):
+            self.pid, self.size, self.stride = pid, size, stride
+
+        def __reduce__(self):
+            return (_tu._rebuild_tensor_v2,
+                    (_Pid(self.pid), 0, self.size, self.stride, False, None))
+
+    class _Pid:
+        def __init__(self, pid):
+            self.pid = pid
+
+    class _Pickler(pickle.Pickler):
+        def persistent_id(self, obj):
+            return obj.pid if isinstance(obj, _Pid) else None
+
+    buf = io.BytesIO()
+    for header in (0x1950A86A20F9469CFC6C, 1001, {"little_endian": True}):
+        pickle.dump(header, buf, protocol=2)
+    _Pickler(buf, protocol=2).dump({
+        "full": _Tensor(root_pid, (3, 4), (4, 1)),
+        "view": _Tensor(view_pid, (2, 3), (3, 1)),
+    })
+    pickle.dump(["0"], buf, protocol=2)
+    buf.write(struct.pack("<q", 12))
+    buf.write(root.tobytes())
+
+    path = str(tmp_path / "viewmeta.pth")
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    loaded = load_torch_state_dict(path)
+    np.testing.assert_array_equal(loaded["full"], root.reshape(3, 4))
+    np.testing.assert_array_equal(loaded["view"], root[4:10].reshape(2, 3))
 
 
 def test_relaxed_load_skips_mismatches(params, tmp_path):

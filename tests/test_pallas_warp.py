@@ -107,6 +107,35 @@ def test_shift_window_warp_boundary_zeros():
     np.testing.assert_allclose(out[3:, 3:], 1.0, atol=1e-6)
 
 
+def test_warp_auto_large_branch_single_roundtrip():
+    """_warp_auto's large-flow branch vs the XLA oracle: the torch-grid
+    roundtrip is applied ONCE (inside flow_warp_fast; double application
+    was ADVICE round 2).  Remaining tolerance covers only the kernel's
+    documented tile-relative coordinate fold-back (~1 ulp of the
+    coordinate -> ~1e-6 of the output; ops/pallas/warp.py:183), with no
+    tap flips at near-integer tie coordinates."""
+    from upflow_pytorch_tpu.ops.warp import (
+        _abs_coords_torch_grid,
+        _bilinear_zero_pad,
+        _warp_auto,
+    )
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 16, 128, 2).astype(np.float32)
+    # large flows (outside the shift-warp window) with near-integer
+    # values, where a double roundtrip flips taps
+    flow = (rng.randint(-8, 8, (1, 16, 128, 2))
+            + rng.choice([0.0, 1e-7, -1e-7], (1, 16, 128, 2))
+            ).astype(np.float32)
+    flow[0, 0, 0] = (7.0, 7.0)  # defeat the small-flow predicate
+    px, py = _abs_coords_torch_grid(jnp.asarray(flow))
+    ref, _ = _bilinear_zero_pad(jnp.asarray(x), px, py)
+    with pltpu.force_tpu_interpret_mode():
+        out = _warp_auto(jnp.asarray(x), jnp.asarray(flow))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+
+
 def test_small_flow_pred_bounds():
     from upflow_pytorch_tpu.ops.warp import _SMALL_WINDOW_R, _small_flow_pred
 

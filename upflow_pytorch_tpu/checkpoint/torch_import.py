@@ -4,10 +4,12 @@ Two jobs (SURVEY.md §3.5; reference load semantics at
 /root/reference/utils/tools.py:109-127):
 
 1. ``load_torch_state_dict``: parse a torch-saved state dict into
-   ``{name: np.ndarray}``.  Supports the modern zipfile serialization
-   natively (zipfile + a restricted Unpickler that rebuilds tensors from
-   raw storages — no torch import), and falls back to ``torch.load`` for
-   the legacy (pre-1.6 "tar"/magic-number) format when torch is present.
+   ``{name: np.ndarray}``.  Natively supports BOTH serialization formats
+   (zipfile + a restricted Unpickler that rebuilds tensors from raw
+   storages — no torch import anywhere): the modern (>=1.6) zip layout
+   and the legacy (pre-1.6) magic-number stream that torch 1.1 wrote for
+   the reference's ``upflow_kitti2015.pth`` (requirements.txt pins
+   torch==1.1.0), including its storage-view persistent ids.
 2. ``torch_state_dict_to_params``: map the reference's parameter names
    onto this package's flax tree, transposing conv weights OIHW -> HWIO,
    with the reference's "relaxed" partial-load semantics (keep only
@@ -18,6 +20,7 @@ from __future__ import annotations
 
 import io
 import pickle
+import struct
 import zipfile
 from typing import Dict, Optional, Tuple
 
@@ -38,10 +41,15 @@ _DTYPE_BY_STORAGE = {
 
 
 class _StorageStub:
-    def __init__(self, dtype_name: str, key: str, numel: int):
+    def __init__(self, dtype_name: str, key: str, numel: int,
+                 base_offset: int = 0):
         self.dtype_name = dtype_name
         self.key = key
         self.numel = numel
+        # element offset of a legacy storage VIEW into its root storage
+        # (pre-1.6 serialization supported storage views; always 0 for
+        # the zip format)
+        self.base_offset = base_offset
 
 
 def _bf16_to_f32(raw: bytes) -> np.ndarray:
@@ -103,14 +111,15 @@ class _LazyTensor:
             flat = _bf16_to_f32(raw)
         else:
             flat = np.frombuffer(raw, dtype=_DTYPE_BY_STORAGE[name])
+        off = self.offset + self.storage.base_offset
         n = int(np.prod(self.size)) if self.size else 1
         if self.stride is not None and self.size:
             return np.lib.stride_tricks.as_strided(
-                flat[self.offset:],
+                flat[off:],
                 shape=self.size,
                 strides=tuple(s * flat.itemsize for s in self.stride),
             ).copy()
-        return flat[self.offset:self.offset + n].reshape(self.size).copy()
+        return flat[off:off + n].reshape(self.size).copy()
 
 
 def _rebuild_tensor_v2(storage, offset, size, stride, requires_grad=False,
@@ -151,19 +160,122 @@ def _load_zip_pth(path: str) -> Dict[str, np.ndarray]:
     return resolve(obj)
 
 
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+_LEGACY_PROTOCOL = 1001
+
+_ELEMENT_SIZE = {
+    "FloatStorage": 4, "DoubleStorage": 8, "HalfStorage": 2,
+    "BFloat16Storage": 2, "LongStorage": 8, "IntStorage": 4,
+    "ShortStorage": 2, "CharStorage": 1, "ByteStorage": 1, "BoolStorage": 1,
+}
+
+
+class _LegacyUnpickler(_TorchUnpickler):
+    """Unpickler for the pre-1.6 (torch<=1.5 ``_legacy_save``) stream.
+
+    Persistent ids are 6-tuples ``('storage', type, root_key, location,
+    numel, view_metadata)`` where view_metadata is None or ``(view_key,
+    element_offset, view_numel)`` — a view into the root storage (the
+    old format deduplicated shared-parameter storage through views).
+    Records every root storage's dtype/numel so the caller can walk the
+    raw data section that follows the pickle.
+    """
+
+    def __init__(self, file):
+        super().__init__(file, {})
+        self.roots: Dict[str, _StorageStub] = {}
+
+    def persistent_load(self, pid):
+        assert isinstance(pid, tuple), pid
+        typename = pid[0]
+        if isinstance(typename, bytes):
+            typename = typename.decode("ascii")
+        if typename == "module":
+            # legacy container-source records: ('module', type, file, src)
+            return pid[1]
+        assert typename == "storage", pid
+        _, stype, root_key, _location, numel, view_metadata = pid
+        dtype_name = getattr(stype, "dtype_name", None) or str(stype)
+        root_key = str(root_key)
+        if root_key not in self.roots:
+            self.roots[root_key] = _StorageStub(dtype_name, root_key,
+                                                int(numel))
+        if view_metadata is not None:
+            _view_key, offset, view_numel = view_metadata
+            return _StorageStub(dtype_name, root_key, int(view_numel),
+                                base_offset=int(offset))
+        return self.roots[root_key]
+
+
+def _load_legacy_pth(path: str) -> Dict[str, np.ndarray]:
+    """Parse the pre-1.6 torch serialization (the format torch 1.1's
+    ``torch.save`` writes — /root/reference/utils/tools.py:109-110 with
+    requirements.txt's torch==1.1.0): three pickled header records
+    (magic, protocol, sys_info), the pickled object with storage
+    persistent-ids, the pickled key order, then per key an int64 element
+    count followed by the raw little-endian storage bytes."""
+    with open(path, "rb") as f:
+        magic = pickle.load(f)
+        if magic != _LEGACY_MAGIC:
+            raise ValueError(
+                "not a torch legacy checkpoint (bad magic): %s" % path)
+        protocol = pickle.load(f)
+        if protocol != _LEGACY_PROTOCOL:
+            raise ValueError("unsupported torch legacy protocol %r" % protocol)
+        _sys_info = pickle.load(f)
+        unpickler = _LegacyUnpickler(f)
+        obj = unpickler.load()
+        storage_keys = pickle.load(f)
+        raw_storages: Dict[str, bytes] = {}
+        for key in storage_keys:
+            key = str(key)
+            stub = unpickler.roots[key]
+            (numel,) = struct.unpack("<q", f.read(8))
+            assert numel == stub.numel, (key, numel, stub.numel)
+            nbytes = numel * _ELEMENT_SIZE[stub.dtype_name]
+            raw = f.read(nbytes)
+            assert len(raw) == nbytes, "truncated storage %s" % key
+            raw_storages[key] = raw
+
+    def resolve(x):
+        if isinstance(x, _LazyTensor):
+            return x.materialize(raw_storages)
+        if isinstance(x, dict):
+            return {k: resolve(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return type(x)(resolve(v) for v in x)
+        return x
+
+    return resolve(obj)
+
+
+def _is_legacy_tar(path: str) -> bool:
+    import tarfile
+
+    try:
+        with tarfile.open(path, mode="r:") as tar:
+            names = tar.getnames()
+        return "pickle" in names and "storages" in names
+    except (tarfile.TarError, OSError, EOFError):
+        return False
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch-saved state dict as numpy arrays."""
+    """Load a torch-saved state dict as numpy arrays (no torch needed).
+
+    Handles both serialization formats: the modern (>=1.6) zipfile layout
+    and the legacy (pre-1.6, incl. torch 1.1 — the version that wrote the
+    reference's ``upflow_kitti2015.pth``) magic-number stream.  The
+    ancient (~torch 0.1) tar container is detected and rejected with a
+    clear error.
+    """
     if zipfile.is_zipfile(path):
         return _load_zip_pth(path)
-    # legacy (pre-1.6) serialization: fall back to torch if available
-    try:
-        import torch
-    except ImportError as e:
+    if _is_legacy_tar(path):
         raise NotImplementedError(
-            "legacy torch serialization requires torch for import: %s" % path
-        ) from e
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {k: np.asarray(v.detach().numpy()) for k, v in sd.items()}
+            "torch tar-container checkpoints (~torch 0.1) are not supported:"
+            " %s" % path)
+    return _load_legacy_pth(path)
 
 
 # --------------------------------------------------------------------------

@@ -19,11 +19,14 @@ full-resolution tensors exist only as VMEM tiles inside the kernel:
 - the warp's +-3-tap neighborhood comes from computing the flow upsample
   on a 3x3-tile extended patch (24, 384) per output tile, so no halo
   exchange or overlapping blocks are needed;
-- the tap weights use the exact torch grid_sampler arithmetic, with the
-  normalize/unnormalize roundtrip REPRODUCED via multiplications only
-  (Mosaic lowers fp32 division approximately, so the caller passes the
-  precomputed 1/(S-1) constants and the kernel multiplies — bitwise
-  identical to XLA's a/b for these values was verified by the op test).
+- the tap weights use the torch grid_sampler weight arithmetic, with the
+  normalize/unnormalize roundtrip approximated via multiplication by a
+  precomputed 1/(S-1) (Mosaic lowers fp32 division approximately, so
+  a/b is unavailable in-kernel).  a*(1/b) differs from XLA's a/b by up
+  to ~1 ulp of the coordinate, which can flip a bilinear tap choice at
+  exact fp ties; the op test (test_pallas_sgu.py) bounds the resulting
+  output delta at 2e-3 against the XLA oracle — tap-flip-bounded
+  agreement, NOT bitwise identity.
 
 Why: XLA:TPU lays full-resolution (B, H, W, 2) intermediates out with
 C=2 on the 128-lane axis (64x padded) and every producer/consumer around

@@ -386,22 +386,25 @@ def _warp_auto(x: jax.Array, flow: jax.Array) -> jax.Array:
     c = x.shape[-1]
     px, py = _abs_coords_torch_grid(flow)
     planes = tuple(x[..., ci].astype(jnp.float32) for ci in range(c))
+    # the large branch receives the RAW flow planes so the torch-grid
+    # roundtrip is applied exactly once (inside flow_warp_fast); the
+    # small branch consumes the already-roundtripped coords directly
+    fu = flow[..., 0].astype(jnp.float32)
+    fv = flow[..., 1].astype(jnp.float32)
 
     def small(ops):
-        px_, py_, pl = ops
+        px_, py_, _fu, _fv, pl = ops
         return tuple(_shift_window_warp_planes(pl, px_, py_))
 
     def large(ops):
-        px_, py_, pl = ops
+        _px, _py, fu_, fv_, pl = ops
         xs = jnp.stack(pl, axis=-1)
-        fl = jnp.stack([px_ - _abs_coords(jnp.zeros(px_.shape + (2,)))[0],
-                        py_ - _abs_coords(jnp.zeros(py_.shape + (2,)))[1]],
-                       axis=-1)
+        fl = jnp.stack([fu_, fv_], axis=-1)
         out = _fast_warp_core(xs, fl).astype(jnp.float32)
         return tuple(out[..., ci] for ci in range(c))
 
     outs = jax.lax.cond(_small_flow_pred(flow), small, large,
-                        (px, py, planes))
+                        (px, py, fu, fv, planes))
     return jnp.stack(outs, axis=-1)
 
 
