@@ -502,7 +502,28 @@ def flow_warp_with_mask(x: jax.Array, flow: jax.Array):
     return (out * mask[..., None]).astype(x.dtype), mask
 
 
+def _feature_warp_enabled(x: jax.Array) -> bool:
+    """Fast-path predicate for the MANY-channel masked feature warp
+    (ops/pallas/feature_warp.py): the decode-level and SGU feature warps
+    (C=32/64 at 1/4 and 1/8 resolution) that XLA otherwise lowers to
+    ~1.6 ms scalar-core gathers each.  Small maps stay on XLA (margin
+    padding dominates below ~32 rows)."""
+    if os.environ.get("UPFLOW_DISABLE_PALLAS_FEATURE_WARP"):
+        return False
+    b, h, w, c = x.shape
+    if not (8 <= c <= 64) or h < 32 or w < 128:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+
+
 def flow_warp_masked(x: jax.Array, flow: jax.Array) -> jax.Array:
+    if _feature_warp_enabled(x):
+        from upflow_pytorch_tpu.ops.pallas.feature_warp import (
+            feature_warp_masked_fast)
+        return feature_warp_masked_fast(x, flow, MASK_THRESHOLD)
     out, _ = flow_warp_with_mask(x, flow)
     return out
 
