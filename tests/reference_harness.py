@@ -53,7 +53,51 @@ def load_reference_upflow():
         sys.path.insert(0, REF_ROOT)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
+        from model import pwc_modules as ref_pwc  # noqa: E402
         from model import upflow as ref_upflow  # noqa: E402
+
+    # The reference's flow upsamplers (pwc_modules.py:75-104) scale the
+    # u/v channels IN-PLACE on chunk views — legal under torch 1.1, but
+    # modern autograd rejects "output of a function that returns multiple
+    # views modified inplace" as soon as gradients flow.  Replace with
+    # out-of-place equivalents (bitwise-identical values: same interpolate,
+    # same scalar multiplies, same cat) on BOTH the defining module and
+    # upflow's from-imported bindings.
+    if not getattr(ref_pwc.upsample2d_flow_as, "_grad_safe", False):
+        import torch
+        import torch.nn.functional as tf
+
+        def upsample2d_flow_as(inputs, target_as, mode="bilinear",
+                               if_rate=False):
+            _, _, h, w = target_as.size()
+            res = tf.interpolate(inputs, [h, w], mode=mode,
+                                 align_corners=True)
+            if if_rate:
+                _, _, h_, w_ = inputs.size()
+                u, v = res.chunk(2, dim=1)
+                res = torch.cat([u * (w / w_), v * (h / h_)], dim=1)
+            return res
+
+        def upsample_flow(inputs, target_size=None, target_flow=None,
+                          mode="bilinear"):
+            if target_size is not None:
+                h, w = target_size
+            elif target_flow is not None:
+                _, _, h, w = target_flow.size()
+            else:
+                raise ValueError("wrong input")
+            _, _, h_, w_ = inputs.size()
+            res = tf.interpolate(inputs, [h, w], mode=mode,
+                                 align_corners=True)
+            u, v = res.chunk(2, dim=1)
+            return torch.cat([u * (w / w_), v * (h / h_)], dim=1)
+
+        upsample2d_flow_as._grad_safe = True
+        upsample_flow._grad_safe = True
+        ref_pwc.upsample2d_flow_as = upsample2d_flow_as
+        ref_pwc.upsample_flow = upsample_flow
+        ref_upflow.upsample2d_flow_as = upsample2d_flow_as
+        ref_upflow.upsample_flow = upsample_flow
     return ref_upflow
 
 

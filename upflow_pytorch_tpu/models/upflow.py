@@ -26,6 +26,7 @@ census, and multi-scale pyramid distillation, with analytic occlusion masks.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
@@ -63,6 +64,49 @@ from upflow_pytorch_tpu.ops.warp import (
     flow_warp_masked,
     sgu_blend,
 )
+
+
+def _sgu_final_xla(output_hw, ops):
+    """Plain-XLA final SGU stage (also the custom-VJP backward path)."""
+    oh, ow = output_hw
+    fq, xo = ops
+    flow_out = upsample2d_flow_as(fq, (oh, ow), if_rate=True)
+    inter_flow = upsample2d_flow_as(xo[..., :2], (oh, ow), if_rate=True)
+    inter_mask = upsample2d_as(jax.nn.sigmoid(xo[..., 2:3]), (oh, ow))
+    return (flow_warp(flow_out, inter_flow) * (1 - inter_mask)
+            + flow_out * inter_mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sgu_final_op(output_hw, flow_q, x_out):
+    return _sgu_final_op_impl(output_hw, flow_q, x_out)
+
+
+def _sgu_final_op_impl(output_hw, flow_q, x_out):
+    oh, ow = output_hw
+    hq, wq = flow_q.shape[1:3]
+    from upflow_pytorch_tpu.ops.pallas.sgu_final import sgu_final_pallas
+
+    bound = jnp.float32(2.0)
+    pred = ((jnp.max(jnp.abs(x_out[..., 0])) * (ow / wq) <= bound)
+            & (jnp.max(jnp.abs(x_out[..., 1])) * (oh / hq) <= bound))
+    return jax.lax.cond(
+        pred,
+        lambda ops: sgu_final_pallas(ops[0], ops[1], (oh, ow)),
+        functools.partial(_sgu_final_xla, (oh, ow)), (flow_q, x_out))
+
+
+def _sgu_final_op_fwd(output_hw, flow_q, x_out):
+    return _sgu_final_op_impl(output_hw, flow_q, x_out), (flow_q, x_out)
+
+
+def _sgu_final_op_bwd(output_hw, res, g):
+    flow_q, x_out = res
+    return jax.vjp(lambda fq, xo: _sgu_final_xla(output_hw, (fq, xo)),
+                   flow_q, x_out)[1](g)
+
+
+_sgu_final_op.defvjp(_sgu_final_op_fwd, _sgu_final_op_bwd)
 
 
 class UPFlowNet(nn.Module):
@@ -136,34 +180,15 @@ class UPFlowNet(nn.Module):
         kernel whenever the rate-scaled inter-flow fits the warp
         window (bilinear upsampling cannot exceed the source extrema,
         so the +-2px bound is checked on the small pre-upsample
-        tensor); exact XLA fallback otherwise and on CPU."""
+        tensor); exact XLA fallback otherwise and on CPU.  Gradients
+        route through the XLA formulation via custom VJP."""
         oh, ow = int(output_hw[0]), int(output_hw[1])
-        hq, wq = flow_q.shape[1:3]
-
-        def xla_path(ops):
-            fq, xo = ops
-            flow_out = upsample2d_flow_as(fq, (oh, ow), if_rate=True)
-            inter_flow = upsample2d_flow_as(xo[..., :2], (oh, ow),
-                                            if_rate=True)
-            inter_mask = upsample2d_as(jax.nn.sigmoid(xo[..., 2:3]),
-                                       (oh, ow))
-            return (flow_warp(flow_out, inter_flow) * (1 - inter_mask)
-                    + flow_out * inter_mask)
 
         from upflow_pytorch_tpu.ops.warp import _pallas_warp_enabled
 
         if not _pallas_warp_enabled(flow_q):
-            return xla_path((flow_q, x_out))
-
-        from upflow_pytorch_tpu.ops.pallas.sgu_final import sgu_final_pallas
-
-        bound = jnp.float32(2.0)
-        pred = ((jnp.max(jnp.abs(x_out[..., 0])) * (ow / wq) <= bound)
-                & (jnp.max(jnp.abs(x_out[..., 1])) * (oh / hq) <= bound))
-        return jax.lax.cond(
-            pred,
-            lambda ops: sgu_final_pallas(ops[0], ops[1], (oh, ow)),
-            xla_path, (flow_q, x_out))
+            return _sgu_final_xla((oh, ow), (flow_q, x_out))
+        return _sgu_final_op((oh, ow), flow_q, x_out)
 
     # --- one decoder level ---------------------------------------------------
     def _decode_level(self, level, flow_1, flow_2, feature_1, feature_1_1x1,
@@ -178,31 +203,53 @@ class UPFlowNet(nn.Module):
         hw = feature_1.shape[1:3]
         flow_1_up = upsample2d_flow_as(flow_1, hw, if_rate=True)
         flow_2_up = upsample2d_flow_as(flow_2, hw, if_rate=True)
-        if level == 0:
-            feature_2_warp = feature_2
-            feature_1_warp = feature_1
-        else:
-            if c.if_sgu_upsample:
-                flow_1_up, flow_2_up = self._sgu_pair(
-                    flow_1_up, flow_2_up, feature_1_1x1, feature_2_1x1)
-            feature_2_warp = flow_warp_masked(feature_2, flow_1_up)
-            feature_1_warp = flow_warp_masked(feature_1, flow_2_up)
-        if c.if_norm_before_cost_volume:
-            norm_kw = dict(
-                normalize=True, center=True,
-                moments_across_channels=c.norm_moments_across_channels,
-                moments_across_images=c.norm_moments_across_images)
-            feature_1, feature_2_warp = normalize_features(
-                (feature_1, feature_2_warp), **norm_kw)
-            feature_2, feature_1_warp = normalize_features(
-                (feature_2, feature_1_warp), **norm_kw)
+        if level > 0 and c.if_sgu_upsample:
+            flow_1_up, flow_2_up = self._sgu_pair(
+                flow_1_up, flow_2_up, feature_1_1x1, feature_2_1x1)
         use_pallas = not c.if_use_cor_pytorch
-        corr_1 = correlation(feature_1, feature_2_warp, c.search_range,
-                             use_pallas=use_pallas)
-        corr_2 = correlation(feature_2, feature_1_warp, c.search_range,
-                             use_pallas=use_pallas)
-        corr_1 = nn.leaky_relu(corr_1, negative_slope=0.1).astype(self._dtype)
-        corr_2 = nn.leaky_relu(corr_2, negative_slope=0.1).astype(self._dtype)
+
+        from upflow_pytorch_tpu.ops import warp as warp_mod
+        from upflow_pytorch_tpu.ops.pallas.corr_norm import (
+            norm_items_from_conf, warp_norm_corr, warp_norm_corr_viable)
+
+        if (level > 0 and use_pallas
+                and warp_mod._feature_warp_enabled(feature_2)
+                and warp_norm_corr_viable(feature_2.shape, c.search_range)):
+            # SURVEY §7 stage-6 fusion: warped features and normalized
+            # copies never reach HBM (reference hot loop upflow.py:546-564)
+            norm_items = (norm_items_from_conf(c)
+                          if c.if_norm_before_cost_volume else None)
+            thr = warp_mod.MASK_THRESHOLD
+            corr_1 = warp_norm_corr(feature_1, feature_2, flow_1_up,
+                                    c.search_range, norm_items, 0.1,
+                                    thr).astype(self._dtype)
+            corr_2 = warp_norm_corr(feature_2, feature_1, flow_2_up,
+                                    c.search_range, norm_items, 0.1,
+                                    thr).astype(self._dtype)
+        else:
+            if level == 0:
+                feature_2_warp = feature_2
+                feature_1_warp = feature_1
+            else:
+                feature_2_warp = flow_warp_masked(feature_2, flow_1_up)
+                feature_1_warp = flow_warp_masked(feature_1, flow_2_up)
+            if c.if_norm_before_cost_volume:
+                norm_kw = dict(
+                    normalize=True, center=True,
+                    moments_across_channels=c.norm_moments_across_channels,
+                    moments_across_images=c.norm_moments_across_images)
+                feature_1, feature_2_warp = normalize_features(
+                    (feature_1, feature_2_warp), **norm_kw)
+                feature_2, feature_1_warp = normalize_features(
+                    (feature_2, feature_1_warp), **norm_kw)
+            corr_1 = correlation(feature_1, feature_2_warp, c.search_range,
+                                 use_pallas=use_pallas)
+            corr_2 = correlation(feature_2, feature_1_warp, c.search_range,
+                                 use_pallas=use_pallas)
+            corr_1 = nn.leaky_relu(corr_1,
+                                   negative_slope=0.1).astype(self._dtype)
+            corr_2 = nn.leaky_relu(corr_2,
+                                   negative_slope=0.1).astype(self._dtype)
 
         feat_1, res_1 = self.flow_estimators(
             [corr_1, feature_1_1x1, flow_1_up.astype(self._dtype)])

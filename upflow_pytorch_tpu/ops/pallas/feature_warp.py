@@ -1,48 +1,56 @@
 """Pallas TPU kernel: masked bilinear warp of MANY-channel feature maps.
 
-The six hottest non-conv ops in the UPFlow forward are C=32 feature warps
-at 1/4 resolution (``WarpingLayer_no_div`` semantics,
+The hottest non-conv ops in the UPFlow forward are the C=32/64 feature
+warps at 1/4 and 1/8 resolution (``WarpingLayer_no_div`` semantics,
 /root/reference/model/pwc_modules.py:179-207): the decode-level feature
 warps feeding the cost volume and the SGU-pair warps feeding the dense
 estimator (/root/reference/model/upflow.py:546-547, 71-78).  XLA lowers
-each to a scalar-core gather (~1.6-2.1 ms at (4, 96, 320, 32)); this
+each to a scalar-core gather (~1.6-2.9 ms at (4, 96, 320, 32)); this
 kernel replaces them with VPU vector gathers.
 
-Design — "dynamic window + channel-in-sublane gathers":
+Design — "band DMA + channel-in-sublane static-unrolled gathers":
 
 - The source is staged ``(B, Hs, C, Ws)`` (rows MAJOR/untiled, channels
-  in sublanes, columns in lanes) with zero-filled margins (MR rows / MC
-  cols), so out-of-image taps read zeros (``padding_mode='zeros'``)
-  with no in-kernel bounds logic.  Because rows are an untiled dim,
-  per-tile row windows need NO alignment and stay tight.
-- Flow fields here are spatially smooth (they are upsampled from a
-  coarser pyramid level), so within one (8, 128) output tile the
-  bilinear support spans only a few source rows and a ~130-150-column
-  band (identity + intra-tile flow variation).  Per-tile integer window
-  offsets (row exact, col 128-aligned) are computed in XLA and passed
-  as scalar-prefetch arrays; the kernel DMAs one ``(WIN_R, C, 384)``
-  window per tile (double-buffered).  The 3-lane-block column window
-  absorbs the up-to-127-column alignment waste plus motion-boundary
-  discontinuities of ~100 px inside a single tile.
+  in sublanes, columns in lanes) with zero-filled margins (MR rows, 128
+  cols left / 256 right), so out-of-image taps read zeros
+  (``padding_mode='zeros'``) with no in-kernel bounds logic.
+- Grid is ``(B, Hp/8)``: one step warps a full 8-row band of output.
+  The kernel DMAs ONE ``(WIN_R, C, Ws)`` source band per step
+  (double-buffered; the row offset is exact since rows are untiled), so
+  adjacent column tiles share one DMA instead of re-fetching overlapped
+  windows.
 - The key throughput trick: the bilinear x-tap indices depend only on
   the OUTPUT PIXEL, not the channel.  With channels in sublanes, ONE
   ``take_along_axis`` over lanes on a ``(C, 128)`` block gathers the
   tap for C channels at once — an 8-32x reduction in gather count vs a
-  planar per-channel layout.  The kernel unrolls the 8 output rows;
-  each row runs a ``fori_loop`` over its OWN source-row candidates
-  (typically 2-3), accumulating two x-taps per candidate via
-  3-block-windowed lane gathers.
+  planar per-channel layout.
+- ALL control flow is statically unrolled — no dynamic-trip-count
+  loops (a previous fori_loop-per-output-row variant spent more scalar
+  -core cycles on loop bookkeeping than on the gathers themselves):
+  * 8 output rows x N_J column tiles, unrolled;
+  * per output row and column tile, exactly ``_NS`` (4) candidate
+    source rows, anchored at the (row, tile)'s minimum y0
+    (scalar-prefetched); smooth upsampled flows keep the per-tile y0
+    span <= _NS - 2 (taps touch y0..y0+span+1), and the XLA-side
+    predicate falls back whenever they don't;
+  * per column tile, a DYNAMIC 128-aligned 384-column window
+    (scalar-prefetched offset) and 3 static 128-lane blocks inside
+    it: the 128-alignment of the window start wastes up to 127
+    columns, the identity span costs another 127, so a 256-column
+    window would leave <= 1 px of flow-variation margin and fall
+    back on essentially every real tile — 3 blocks leave ~128 px.
 - The torch grid_sample coordinate roundtrip is computed in XLA (exact
   division) and passed in as absolute coordinate planes; the kernel
   reproduces the torch weight arithmetic and the analytic warped-ones
   mask (``>= threshold``) bit-for-bit.  Only the final 4-tap summation
-  ASSOCIATION differs from the XLA oracle (per-row accumulation), a
-  ~1-2 ulp effect bounded by the op test.
-- Tiles whose flow violates the window bounds (motion discontinuities
-  larger than the margins/span) make the whole call fall back to the
-  exact XLA gather via ``lax.cond`` — the op is always exact; the fast
-  path simply engages whenever the flow field permits, which is the
-  trained-checkpoint regime.
+  ASSOCIATION differs from the XLA oracle (per-source-row
+  accumulation), a ~1-2 ulp effect bounded by the op test.
+- Bands whose flow violates the window bounds (motion discontinuities
+  beyond the margins/spans) make the whole call fall back to the exact
+  XLA gather via ``lax.cond`` — the op is always exact; the fast path
+  simply engages whenever the flow field permits, which is the
+  trained-checkpoint regime.  The source staging (transpose + margin
+  pad) lives INSIDE the fast branch so the fallback does not pay it.
 """
 
 from __future__ import annotations
@@ -56,60 +64,58 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SUB = 8
 _LANE = 128
-_NBLK = 3
-_WIN_C = _NBLK * _LANE   # per-tile column window (three lane blocks)
-_WIN_R = 16              # per-tile row window (rows are untiled: exact)
-_MR = 32                 # zero margin rows (out-of-image tap slack)
-_MC = 128                # zero margin cols
+_NS = 4          # static candidate source rows per output row-tile
+_WIN_C = 384     # per-tile dynamic column window (three lane blocks)
+_NKB = _WIN_C // _LANE
+_MR = 24         # zero margin rows (out-of-image tap slack)
+_MC = 128        # zero margin cols (left; right margin is 2*_LANE)
 
 
-def _warp_kernel(roff_ref, coff_ref, px_ref, py_ref, src_ref, out_ref,
-                 slab, sems, *, n_ch: int, win_r: int, mask_thr,
-                 mc: int, mr: int, img_h: int, img_w: int):
-    """Grid (B, Hp/8, Wp/128).
+def _warp_kernel(roff_ref, rowbase_ref, coff_ref, px_ref, py_ref, src_ref,
+                 out_ref, slab, sems, *, n_ch: int, win_r: int, n_j: int,
+                 mask_thr, mc: int, mr: int, img_h: int, img_w: int):
+    """Grid (B, Hp/8).
 
-    roff/coff: (B, nI, nG) int32 element offsets of each tile's source
-               window into the padded src (roff exact, coff 128-aligned).
-    px/py:     (1, 8, 128) VMEM blocks of roundtripped absolute coords.
-    src:       (B, Hs, C, Ws) HBM (input dtype), zero margins (mr, mc).
-    out:       (1, C, 8, 128) VMEM block, planar.
-    slab:      (2, win_r, C, 384) scratch (double-buffered, src dtype).
+    roff:    (B, nI) int32 — band source-row offset into the staged src.
+    rowbase: (B, nI, 8, nJ) int32 — per output row AND column tile, min
+             y0 in STAGED row coords (y0 + mr); candidates are
+             rowbase + {0, .., _NS - 1}.
+    coff:    (B, nI, n_j) int32 — per column tile, 128-aligned window
+             offset into the staged columns.
+    px/py:   (1, 8, Wp) VMEM blocks of roundtripped absolute coords.
+    src:     (B, Hs, C, Ws) HBM (input dtype), zero margins.
+    out:     (1, 8, C, Wp) VMEM block, rows-major (channels in sublanes:
+             each (r, j) store lands a CONTIGUOUS (C, 128) tile — a
+             C-major planar block would scatter one masked sublane per
+             channel instead, 8x store inefficiency).
+    slab:    (2, win_r, C, Ws) scratch (double-buffered, src dtype).
     """
     b = pl.program_id(0)
     ti = pl.program_id(1)
-    tj = pl.program_id(2)
     n_i = pl.num_programs(1)
-    n_j = pl.num_programs(2)
-    step = (b * n_i + ti) * n_j + tj
+    step = b * n_i + ti
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
 
-    def start_copy(b_, i_, j_, slot_):
-        r0 = roff_ref[b_, i_, j_]
-        c0 = pl.multiple_of(coff_ref[b_, i_, j_], _LANE)
+    def start_copy(b_, i_, slot_):
+        r0 = roff_ref[b_, i_]
         pltpu.make_async_copy(
-            src_ref.at[b_, pl.ds(r0, win_r), :, pl.ds(c0, _WIN_C)],
+            src_ref.at[b_, pl.ds(r0, win_r)],
             slab.at[slot_],
             sems.at[slot_],
         ).start()
 
     @pl.when(step == 0)
     def _():
-        start_copy(b, ti, tj, slot)
+        start_copy(b, ti, slot)
 
-    last = step == pl.num_programs(0) * n_i * n_j - 1
-
-    @pl.when(jnp.logical_not(last))
+    @pl.when(step < pl.num_programs(0) * n_i - 1)
     def _():
         nstep = step + 1
-        nj_ = jax.lax.rem(nstep, n_j)
-        ni_ = jax.lax.rem(nstep // n_j, n_i)
-        nb_ = nstep // (n_i * n_j)
-        start_copy(nb_, ni_, nj_, nxt)
+        start_copy(nstep // n_i, jax.lax.rem(nstep, n_i), nxt)
 
     pltpu.make_async_copy(
-        src_ref.at[b, pl.ds(0, win_r), :, pl.ds(0, _WIN_C)],
-        slab.at[slot], sems.at[slot]).wait()
+        src_ref.at[b, pl.ds(0, win_r)], slab.at[slot], sems.at[slot]).wait()
 
     px = px_ref[0]
     py = py_ref[0]
@@ -120,27 +126,8 @@ def _warp_kernel(roff_ref, coff_ref, px_ref, py_ref, src_ref, out_ref,
     wx0 = (x0 + 1.0) - px
     wy1 = py - y0
     wy0 = (y0 + 1.0) - py
-
-    r0 = roff_ref[b, ti, tj]
-    c0 = coff_ref[b, ti, tj]
-    # local integer tap coords within the DMA'd window
-    x0l = x0.astype(jnp.int32) + (mc - c0)
-    y0l = y0.astype(jnp.int32) + (mr - r0)
-
-    # per-block lane-gather indices + exclusive masks for both x taps,
-    # computed once per tile at (8, 128); clipped for compile safety
-    # (the XLA-side window-fit predicate guarantees in-range when this
-    # path runs)
-    taps = []
-    for t in (0, 1):
-        xt = x0l + t
-        blocks = []
-        for k in range(_NBLK):
-            idx = jnp.clip(xt - k * _LANE, 0, _LANE - 1)
-            sel = ((xt >= k * _LANE) & (xt < (k + 1) * _LANE)
-                   ).astype(jnp.float32)
-            blocks.append((idx, sel))
-        taps.append(blocks)
+    x0i = x0.astype(jnp.int32) + mc        # staged column coords
+    y0i = y0.astype(jnp.int32) + mr        # staged row coords
 
     if mask_thr is not None:
         # analytic warped-ones mask, identical expression order to
@@ -160,107 +147,123 @@ def _warp_kernel(roff_ref, coff_ref, px_ref, py_ref, src_ref, out_ref,
     else:
         mask = None
 
+    r0 = roff_ref[b, ti]
     cshape = (n_ch, _LANE)
 
     for r in range(_SUB):
-        # row-r views, broadcast over the channel sublanes
-        y0r = y0l[r:r + 1, :]
-        wy0r = wy0[r:r + 1, :]
-        wy1r = wy1[r:r + 1, :]
-        wx0r = wx0[r:r + 1, :]
-        wx1r = wx1[r:r + 1, :]
-        lo = jnp.maximum(jnp.min(y0r), 0)
-        hi = jnp.minimum(jnp.max(y0r) + 1, win_r - 1)
-
-        def body(s, acc, y0r=y0r, wy0r=wy0r, wy1r=wy1r,
-                 wx0r=wx0r, wx1r=wx1r):
-            sf = s.astype(jnp.float32)
-            y0f = y0r.astype(jnp.float32)
-            wy = (jnp.where(y0f == sf, wy0r, 0.0)
-                  + jnp.where(y0f + 1.0 == sf, wy1r, 0.0))
-            wa = jnp.broadcast_to(wy * wx0r, cshape)
-            wb = jnp.broadcast_to(wy * wx1r, cshape)
-            row = slab[slot, s]            # (C, 3*128), untiled-dim index
-            g = []
-            for t, wt in ((0, wa), (1, wb)):
-                v = jnp.zeros(cshape, jnp.float32)
-                for k in range(_NBLK):
-                    idx, sel = taps[t][k]
-                    idxr = jnp.broadcast_to(idx[r:r + 1, :], cshape)
-                    selr = jnp.broadcast_to(sel[r:r + 1, :], cshape)
-                    blk = row[:, k * _LANE:(k + 1) * _LANE]
-                    v = v + selr * jnp.take_along_axis(
-                        blk.astype(jnp.float32), idxr, axis=1)
-                g.append(wt * v)
-            return acc + g[0] + g[1]
-
-        acc = jax.lax.fori_loop(lo, hi + 1, body,
-                                jnp.zeros(cshape, jnp.float32))
-        if mask is not None:
-            acc = acc * jnp.broadcast_to(mask[r:r + 1, :], cshape)
-        out_ref[0, :, r, :] = acc.astype(out_ref.dtype)
+        y0r = y0i[r]                        # (Wp,) staged-row ints
+        wy0r, wy1r = wy0[r], wy1[r]
+        wx0r, wx1r = wx0[r], wx1[r]
+        for j in range(n_j):
+            sl = slice(j * _LANE, (j + 1) * _LANE)
+            cj = pl.multiple_of(coff_ref[b, ti, j], _LANE)
+            base = rowbase_ref[b, ti, r, j] - r0  # slab row of candidate 0
+            # per-tile window-local tap indices + per-block gathers
+            xt = x0i[r, sl] - cj            # (128,) in [0, _WIN_C-2] if fit
+            y0t = y0r[sl]
+            acc = jnp.zeros(cshape, jnp.float32)
+            idxs, sels = [], []
+            for t in (0, 1):
+                xtt = xt + t
+                for k in range(_NKB):
+                    idx = jnp.clip(xtt - k * _LANE, 0, _LANE - 1)
+                    sel = ((xtt >= k * _LANE) & (xtt < (k + 1) * _LANE))
+                    idxs.append(jnp.broadcast_to(
+                        idx.reshape(1, _LANE), cshape))
+                    sels.append(jnp.broadcast_to(
+                        sel.reshape(1, _LANE), cshape).astype(jnp.float32))
+            for s in range(_NS):
+                srow = base + s
+                # staged row index of this candidate (scalar) vs the
+                # per-lane tap rows: candidate feeds tap-y0 where
+                # y0 == srow and tap-y1 where y0 + 1 == srow
+                sg = r0 + srow
+                wy = (jnp.where(y0t == sg, wy0r[sl], 0.0)
+                      + jnp.where(y0t + 1 == sg, wy1r[sl], 0.0))
+                win = slab[slot, srow, :, pl.ds(cj, _WIN_C)]   # (C, 384)
+                contrib = jnp.zeros(cshape, jnp.float32)
+                for t, wxr in ((0, wx0r[sl]), (1, wx1r[sl])):
+                    for k in range(_NKB):
+                        g = jnp.take_along_axis(
+                            win[:, k * _LANE:(k + 1) * _LANE
+                                ].astype(jnp.float32),
+                            idxs[_NKB * t + k], axis=1)
+                        contrib = contrib + (
+                            sels[_NKB * t + k] * g
+                            * jnp.broadcast_to(wxr.reshape(1, _LANE),
+                                               cshape))
+                acc = acc + contrib * jnp.broadcast_to(
+                    wy.reshape(1, _LANE), cshape)
+            if mask is not None:
+                acc = acc * jnp.broadcast_to(
+                    mask[r, sl].reshape(1, _LANE), cshape)
+            out_ref[0, r, :, sl] = acc.astype(out_ref.dtype)
 
 
 def _ceil_to(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _win_r(h: int) -> int:
+    # band row window: 8 identity rows + taps + intra-band flow-y span
+    return min(24, _ceil_to(h + 2, 4))
+
+
 def feature_warp_window_pallas(src_staged: jax.Array, px: jax.Array,
                                py: jax.Array, roff: jax.Array,
-                               coff: jax.Array, img_hw, *,
-                               win_r: int = _WIN_R, mc: int = _MC,
-                               mr: int = _MR, mask_thr,
-                               out_dtype) -> jax.Array:
-    """Raw windowed kernel call.  ``src_staged``: (B, Hs, C, Ws) with
-    zero margins; px/py: (B, Hp, Wp) fp32 padded coords; roff/coff:
-    (B, Hp/8, Wp/128) int32 window offsets (roff exact, coff
-    128-aligned).  REQUIRES every tile's taps inside its window (see
-    feature_warp_masked's predicate).  Returns planar (B, C, Hp, Wp)
-    of dtype ``out_dtype``.
+                               rowbase: jax.Array, coff: jax.Array,
+                               img_hw, *, mask_thr, out_dtype) -> jax.Array:
+    """Raw banded kernel call.  ``src_staged``: (B, Hs, C, Ws) with zero
+    margins; px/py: (B, Hp, Wp) fp32 padded coords; roff/rowbase/coff:
+    int32 window offsets (see ``_warp_kernel``).  REQUIRES every band /
+    row / tile in-window (see feature_warp_prep's predicate).  Returns
+    rows-major (B, Hp, C, Wp) of dtype ``out_dtype``.
     """
     b, hs, c, ws = src_staged.shape
     _, hp, wp = px.shape
-    n_i, n_g = hp // _SUB, wp // _LANE
+    n_i, n_j = hp // _SUB, wp // _LANE
     img_h, img_w = int(img_hw[0]), int(img_hw[1])
+    win_r = _win_r(img_h)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, n_i, n_g),
+        num_scalar_prefetch=3,
+        grid=(b, n_i),
         in_specs=[
-            pl.BlockSpec((1, _SUB, _LANE), lambda bi, i, g, r, co: (bi, i, g),
+            pl.BlockSpec((1, _SUB, wp), lambda bi, i, r, rb, co: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, _LANE), lambda bi, i, g, r, co: (bi, i, g),
+            pl.BlockSpec((1, _SUB, wp), lambda bi, i, r, rb, co: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, c, _SUB, _LANE),
-                               lambda bi, i, g, r, co: (bi, 0, i, g),
+        out_specs=pl.BlockSpec((1, _SUB, c, wp),
+                               lambda bi, i, r, rb, co: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, win_r, c, _WIN_C), src_staged.dtype),
+            pltpu.VMEM((2, win_r, c, ws), src_staged.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_warp_kernel, n_ch=c, win_r=win_r,
-                          mask_thr=mask_thr, mc=mc, mr=mr,
+        functools.partial(_warp_kernel, n_ch=c, win_r=win_r, n_j=n_j,
+                          mask_thr=mask_thr, mc=_MC, mr=_MR,
                           img_h=img_h, img_w=img_w),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * hp * wp * c,
-            bytes_accessed=2 * b * c * (hp * wp + win_r * _WIN_C * n_i * n_g),
+            bytes_accessed=2 * b * c * (hp * wp + win_r * ws * n_i),
             transcendentals=0),
-    )(roff, coff, px, py, src_staged)
+    )(roff, rowbase, coff, px, py, src_staged)
 
 
-def feature_warp_prep(x: jax.Array, flow: jax.Array, *,
-                      win_r: int = _WIN_R, mc: int = _MC, mr: int = _MR):
-    """XLA-side preparation shared by the fast path and its predicate.
+def feature_warp_prep(x: jax.Array, flow: jax.Array):
+    """XLA-side window/predicate computation (both paths pay this; the
+    heavy source STAGING lives in ``feature_warp_stage`` inside the fast
+    branch).
 
-    Returns (src_staged, px_p, py_p, roff, coff, fits, (hp, wp)).
-    ``fits`` is the scalar predicate: every tile's bilinear support lies
-    inside its (win_r, 384) window and the global margins.
+    Returns (px_p, py_p, roff, rowbase, coff, fits, (hp, wp)).
+    ``fits`` is the scalar predicate: every band / output row / column
+    tile's bilinear support lies inside its window and the margins.
     """
     from upflow_pytorch_tpu.ops.warp import _abs_coords_torch_grid
 
@@ -269,87 +272,117 @@ def feature_warp_prep(x: jax.Array, flow: jax.Array, *,
 
     hp = _ceil_to(h, _SUB)
     wp = _ceil_to(w, _LANE)
-    # edge-replicate coordinate padding keeps per-tile spans tight
+    win_r = _win_r(h)
+    # edge-replicate coordinate padding keeps per-band spans tight
     px_p = jnp.pad(px, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
     py_p = jnp.pad(py, ((0, 0), (0, hp - h), (0, wp - w)), mode="edge")
 
-    x0 = jnp.floor(px_p).astype(jnp.int32)
-    y0 = jnp.floor(py_p).astype(jnp.int32)
-    n_i, n_g = hp // _SUB, wp // _LANE
-    x0t = x0.reshape(b, n_i, _SUB, n_g, _LANE)
-    y0t = y0.reshape(b, n_i, _SUB, n_g, _LANE)
-    min_x0 = jnp.min(x0t, axis=(2, 4))
-    max_x0 = jnp.max(x0t, axis=(2, 4))
-    min_y0 = jnp.min(y0t, axis=(2, 4))
-    max_y0 = jnp.max(y0t, axis=(2, 4))
+    x0 = jnp.floor(px_p).astype(jnp.int32) + _MC   # staged col coords
+    y0 = jnp.floor(py_p).astype(jnp.int32) + _MR   # staged row coords
+    n_i, n_j = hp // _SUB, wp // _LANE
+    x0t = x0.reshape(b, n_i, _SUB, n_j, _LANE)
+    y0t = y0.reshape(b, n_i, _SUB, n_j, _LANE)
 
-    hs = hp + mr + win_r + _SUB
-    ws = wp + mc + _WIN_C + _LANE
-    # window offsets (element units; rows exact, cols 128-aligned)
-    roff = jnp.clip(min_y0 + mr, 0, hs - win_r)
-    coff = jnp.clip((min_x0 + mc) // _LANE * _LANE, 0, ws - _WIN_C)
+    hs = _MR + hp + _MR
+    ws = _MC + wp + 2 * _LANE
+
+    # rows: band offset (exact; rows untiled) + per-(row, tile) candidate
+    # base: taps live at {y0, y0 + 1}, candidates at base + {0 .. _NS-1},
+    # so a per-tile y0 span of _NS - 2 is coverable
+    min_y_band = jnp.min(y0t, axis=(2, 3, 4))            # (B, nI)
+    max_y_band = jnp.max(y0t, axis=(2, 3, 4))
+    roff = jnp.clip(min_y_band, 0, hs - win_r)
+    rowbase = jnp.min(y0t, axis=4)                       # (B, nI, 8, nJ)
+    rowspan = jnp.max(y0t, axis=4) - rowbase
+    # cols: per-tile 128-aligned window offset
+    min_x = jnp.min(x0t, axis=(2, 4))                    # (B, nI, nJ)
+    max_x = jnp.max(x0t, axis=(2, 4))
+    coff = jnp.clip(min_x // _LANE * _LANE, 0, ws - _WIN_C)
     fits = (
-        jnp.all(min_y0 + mr >= 0)
-        & jnp.all(max_y0 + 1 + mr <= hs - 1)
-        & jnp.all(max_y0 + 1 + mr - roff <= win_r - 1)
-        & jnp.all(min_x0 + mc >= 0)
-        & jnp.all(max_x0 + 2 + mc <= ws - 1)
-        & jnp.all(max_x0 + 2 + mc - coff <= _WIN_C - 1)
+        jnp.all(min_y_band >= 0)
+        & jnp.all(max_y_band + 1 <= hs - 1)
+        # every candidate row (incl. the unused top ones) stays in-slab
+        & jnp.all(rowbase + (_NS - 1) - roff[:, :, None, None]
+                  <= win_r - 1)
+        & jnp.all(max_y_band + 1 - roff <= win_r - 1)
+        & jnp.all(rowspan <= _NS - 2)
+        & jnp.all(min_x >= 0)
+        & jnp.all(max_x + 1 <= ws - 1)
+        & jnp.all(max_x + 1 - coff <= _WIN_C - 1)
     )
+    return px_p, py_p, roff, rowbase, coff, fits, (hp, wp)
 
-    # keep the source dtype: bf16 models stage bf16 (half the DMA); fp32
-    # models stay exact vs the fp32 oracle.  Layout (B, Hs, C, Ws):
-    # channels in sublanes so one lane gather serves all channels.
+
+def feature_warp_stage(x: jax.Array) -> jax.Array:
+    """Stage NHWC features as (B, Hs, C, Ws) with zero margins, keeping
+    the source dtype (bf16 models stage bf16 — half the DMA; fp32 models
+    stay exact vs the fp32 oracle).  Channels land in sublanes so one
+    lane gather serves all channels."""
+    b, h, w, c = x.shape
+    hp = _ceil_to(h, _SUB)
+    wp = _ceil_to(w, _LANE)
+    hs = _MR + hp + _MR
+    ws = _MC + wp + 2 * _LANE
     xt = jnp.transpose(x, (0, 1, 3, 2))
-    src = jnp.pad(xt, ((0, 0), (mr, hs - h - mr), (0, 0),
-                       (mc, ws - w - mc)))
-    return src, px_p, py_p, roff, coff, fits, (hp, wp)
+    return jnp.pad(xt, ((0, 0), (_MR, hs - h - _MR), (0, 0),
+                        (_MC, ws - w - _MC)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def feature_warp_masked_fast(x: jax.Array, flow: jax.Array,
-                             mask_thr: float) -> jax.Array:
+                             mask_thr: float,
+                             force=None) -> jax.Array:
     """``WarpingLayer_no_div`` (masked zero-pad bilinear warp) with the
-    windowed Pallas fast path and an exact XLA ``lax.cond`` fallback.
+    banded Pallas fast path and an exact XLA ``lax.cond`` fallback.
 
     NHWC in / NHWC out, any dtype; compute fp32.  Gradients flow through
     the XLA formulation (identical math, see ops/warp.py's
-    ``_fast_warp_core`` precedent).
+    ``_fast_warp_core`` precedent).  ``force`` ("fast"/"slow") pins the
+    branch statically — interpret-mode emulation of this kernel's manual
+    DMA is not ``lax.cond``-safe, so tests exercise branches directly.
     """
-    return _feature_warp_fwd_impl(x, flow, mask_thr)
+    return _feature_warp_fwd_impl(x, flow, mask_thr, force)
 
 
-def _feature_warp_fwd_impl(x, flow, mask_thr):
+def _feature_warp_fwd_impl(x, flow, mask_thr, force=None):
     b, h, w, c = x.shape
-    src, px_p, py_p, roff, coff, fits, (hp, wp) = feature_warp_prep(x, flow)
+    px_p, py_p, roff, rowbase, coff, fits, (hp, wp) = \
+        feature_warp_prep(x, flow)
 
     def fast(ops):
-        src_, px_, py_, ro_, co_, x_ = ops
+        px_, py_, ro_, rb_, co_, x_ = ops
         out = feature_warp_window_pallas(
-            src_, px_, py_, ro_, co_, (h, w),
+            feature_warp_stage(x_), px_, py_, ro_, rb_, co_, (h, w),
             mask_thr=mask_thr, out_dtype=jnp.float32)
-        out = out[:, :, :h, :w]
-        return jnp.transpose(out, (0, 2, 3, 1))
+        out = out[:, :h, :, :w]
+        return jnp.transpose(out, (0, 1, 3, 2))
 
     def slow(ops):
         from upflow_pytorch_tpu.ops.warp import (
             _analytic_wsum, _bilinear_zero_pad)
-        _src, px_, py_, _ro, _co, x_ = ops
+        px_, py_, _ro, _rb, _co, x_ = ops
         px_, py_ = px_[:, :h, :w], py_[:, :h, :w]
         out, _ = _bilinear_zero_pad(x_, px_, py_)
         wsum = _analytic_wsum(x_.shape, px_, py_)
         mask = (wsum >= mask_thr).astype(jnp.float32)
         return out * mask[..., None]
 
-    out = jax.lax.cond(fits, fast, slow, (src, px_p, py_p, roff, coff, x))
+    ops = (px_p, py_p, roff, rowbase, coff, x)
+    if force == "fast":
+        out = fast(ops)
+    elif force == "slow":
+        out = slow(ops)
+    else:
+        assert force is None, force
+        out = jax.lax.cond(fits, fast, slow, ops)
     return out.astype(x.dtype)
 
 
-def _feature_warp_fwd(x, flow, mask_thr):
-    return _feature_warp_fwd_impl(x, flow, mask_thr), (x, flow)
+def _feature_warp_fwd(x, flow, mask_thr, force):
+    return _feature_warp_fwd_impl(x, flow, mask_thr, force), (x, flow)
 
 
-def _feature_warp_bwd(mask_thr, res, g):
+def _feature_warp_bwd(mask_thr, force, res, g):
     x, flow = res
 
     def xla_warp(x, flow):

@@ -408,22 +408,21 @@ def _warp_auto(x: jax.Array, flow: jax.Array) -> jax.Array:
     return jnp.stack(outs, axis=-1)
 
 
-def sgu_blend(flow_init: jax.Array, inter_flow: jax.Array,
-              inter_mask: jax.Array) -> jax.Array:
-    """SGU blend ``warp(flow_init, inter_flow)*(1-m) + flow_init*m``
-    (sgu_model.forward, /root/reference/model/upflow.py:88).
+def _sgu_blend_xla(flow_init, inter_flow, inter_mask):
+    """Plain-XLA SGU blend (the backward formulation; identical math)."""
+    px, py = _abs_coords_torch_grid(inter_flow)
+    wpd, _ = _bilinear_zero_pad(flow_init.astype(jnp.float32), px, py)
+    return (wpd * (1 - inter_mask) + flow_init * inter_mask
+            ).astype(flow_init.dtype)
 
-    On TPU the common case (|inter_flow| within the shift-warp window —
-    SGU refinements are ~1px) runs as ONE fused Pallas kernel over
-    planar components, bit-exact vs the XLA gather path (see
-    ops/pallas/blend.py for why: XLA lays full-res (B, H, W, 2)
-    intermediates out 64x padded and mis-fuses the tap loop, profiled
-    at 11.3 ms/direction vs 0.5 ms for the kernel at KITTI size).
-    Larger refinements take the exact XLA gather inside the same cond.
-    """
-    if not _pallas_warp_enabled(flow_init):
-        return (flow_warp(flow_init, inter_flow) * (1 - inter_mask)
-                + flow_init * inter_mask)
+
+@jax.custom_vjp
+def _sgu_blend_tpu(flow_init: jax.Array, inter_flow: jax.Array,
+                   inter_mask: jax.Array) -> jax.Array:
+    return _sgu_blend_tpu_impl(flow_init, inter_flow, inter_mask)
+
+
+def _sgu_blend_tpu_impl(flow_init, inter_flow, inter_mask):
     u = flow_init[..., 0].astype(jnp.float32)
     v = flow_init[..., 1].astype(jnp.float32)
     iu = inter_flow[..., 0].astype(jnp.float32)
@@ -444,6 +443,41 @@ def sgu_blend(flow_init: jax.Array, inter_flow: jax.Array,
     ou, ov = jax.lax.cond(_small_flow_pred(inter_flow), fast, slow,
                           (u, v, iu, iv, m))
     return jnp.stack([ou, ov], axis=-1).astype(flow_init.dtype)
+
+
+def _sgu_blend_tpu_fwd(flow_init, inter_flow, inter_mask):
+    out = _sgu_blend_tpu_impl(flow_init, inter_flow, inter_mask)
+    return out, (flow_init, inter_flow, inter_mask)
+
+
+def _sgu_blend_tpu_bwd(res, g):
+    # gradients through the XLA formulation: identical math, so they are
+    # exact for the same primal values (the _fast_warp_core precedent)
+    return jax.vjp(_sgu_blend_xla, *res)[1](g)
+
+
+_sgu_blend_tpu.defvjp(_sgu_blend_tpu_fwd, _sgu_blend_tpu_bwd)
+
+
+def sgu_blend(flow_init: jax.Array, inter_flow: jax.Array,
+              inter_mask: jax.Array) -> jax.Array:
+    """SGU blend ``warp(flow_init, inter_flow)*(1-m) + flow_init*m``
+    (sgu_model.forward, /root/reference/model/upflow.py:88).
+
+    On TPU the common case (|inter_flow| within the shift-warp window —
+    SGU refinements are ~1px) runs as ONE fused Pallas kernel over
+    planar components, bit-exact vs the XLA gather path (see
+    ops/pallas/blend.py for why: XLA lays full-res (B, H, W, 2)
+    intermediates out 64x padded and mis-fuses the tap loop, profiled
+    at 11.3 ms/direction vs 0.5 ms for the kernel at KITTI size).
+    Larger refinements take the exact XLA gather inside the same cond.
+    Gradients route through the XLA formulation via custom VJP (Pallas
+    kernels are not auto-differentiable).
+    """
+    if not _pallas_warp_enabled(flow_init):
+        return (flow_warp(flow_init, inter_flow) * (1 - inter_mask)
+                + flow_init * inter_mask)
+    return _sgu_blend_tpu(flow_init, inter_flow, inter_mask)
 
 
 def flow_warp(x: jax.Array, flow: jax.Array) -> jax.Array:
