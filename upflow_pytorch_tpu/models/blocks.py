@@ -114,10 +114,16 @@ class ConvBlock(nn.Module):
     that concat traffic is pure waste), while the XLA path concatenates
     lazily here with identical numerics.
 
-    ``pad_out=True`` asks for a channel-padded output (zeros to the next
-    128-multiple) as an (array, live) pair when the Pallas path runs, so
-    the next conv in a dense stack can consume it without a re-pad copy;
-    the XLA path ignores it and returns a plain array.
+    ``pad_out=True`` asks for a STORED-layout output ((B, HS, WS, CP)
+    bf16, real data at origin, garbage tails — see ops/pallas/conv.py)
+    as an (array, live) pair when the Pallas path runs, so the next conv
+    in a dense stack can consume it with ZERO staging copies; the XLA
+    path ignores it and returns a plain array.
+
+    ``img_hw``: the real (H, W).  Stacks that chain stored tensors MUST
+    pass it (stored arrays carry inflated spatial dims); when None it is
+    inferred as the min spatial dims over the segments, which is correct
+    whenever at least one raw segment is present.
     """
 
     features: int
@@ -128,18 +134,22 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pad_out: bool = False):
+    def __call__(self, x, pad_out: bool = False, img_hw=None):
         # a LIST means multiple segments; a bare array or one
         # (array, live) pair is a single segment
         segments = list(x) if isinstance(x, list) else [x]
         arrs, reals = zip(*(_seg_norm(s) for s in segments))
+        if img_hw is None:
+            img_hw = (min(int(a.shape[1]) for a in arrs),
+                      min(int(a.shape[2]) for a in arrs))
+        h, w = img_hw
         # NOTE: standalone, XLA's bf16 conv wins the wide-cout/medium-K
         # shapes (115->128: 108 TF vs Pallas 42) — but a mixed dispatch
         # (XLA for those, Pallas for the rest) measured SLOWER end to
         # end (95.2 vs 87.9 ms): in-graph the XLA convs drag relayout
         # copies into the decode loop.  All decoder convs stay on the
         # Pallas kernel.
-        if (sum(reals) >= 64
+        if (sum(reals) >= 64 and h >= 8 and h * w >= 2048
                 and _pallas_conv_enabled(arrs[0], self.kernel_size,
                                          self.stride, self.dtype)):
             from upflow_pytorch_tpu.ops.pallas.conv import conv3x3_seg
@@ -149,11 +159,11 @@ class ConvBlock(nn.Module):
             kernel, bias = _Conv2DParams(
                 self.features, (3, 3, cin, self.features), name="conv")()
             out = conv3x3_seg(g_arrs, g_reals, kernel, bias, self.dilation,
-                              self.relu, out_pad=pad_out)
+                              self.relu, img_hw=img_hw, out_stored=pad_out)
             return (out, self.features) if pad_out else out
-        x = (arrs[0][..., :reals[0]] if len(arrs) == 1
-             else jnp.concatenate([a[..., :r] for a, r in zip(arrs, reals)],
-                                  axis=-1))
+        x = (arrs[0][:, :h, :w, :reals[0]] if len(arrs) == 1
+             else jnp.concatenate(
+                 [a[:, :h, :w, :r] for a, r in zip(arrs, reals)], axis=-1))
         pad = ((self.kernel_size - 1) * self.dilation) // 2
         x = nn.Conv(
             features=self.features,
@@ -204,15 +214,20 @@ class FlowEstimatorDense(nn.Module):
     def __call__(self, x):
         # segments kept as a list (newest first, matching torch
         # ``cat([conv(x), x])``); concat never materializes on the Pallas
-        # path (intermediates stay channel-padded buffers via pad_out)
+        # path (intermediates flow as stored-layout buffers via pad_out)
         # and is built lazily by ConvBlock on the XLA path
         segs = list(x) if isinstance(x, (list, tuple)) else [x]
+        # real (h, w) from the entry segments (all raw at entry); later
+        # convs see stored-layout intermediates with inflated dims
+        arrs = [_seg_norm(s)[0] for s in segs]
+        img_hw = (min(int(a.shape[1]) for a in arrs),
+                  min(int(a.shape[2]) for a in arrs))
         for i, f in enumerate(self.f_channels):
             y = ConvBlock(f, dtype=self.dtype, name=f"conv{i + 1}")(
-                segs, pad_out=True)
+                segs, pad_out=True, img_hw=img_hw)
             segs = [y] + segs
         out = ConvBlock(self.out_channels, relu=False, dtype=self.dtype,
-                        name="conv_last")(segs)
+                        name="conv_last")(segs, img_hw=img_hw)
         return segs, out
 
 
@@ -226,11 +241,16 @@ class ContextNetwork(nn.Module):
     def __call__(self, x):
         # x may be a segment list (estimator features + flow) — consumed
         # unconcatenated by the first conv
+        arrs = [_seg_norm(s)[0]
+                for s in (x if isinstance(x, (list, tuple)) else [x])]
+        img_hw = (min(int(a.shape[1]) for a in arrs),
+                  min(int(a.shape[2]) for a in arrs))
         dilations = (1, 2, 4, 8, 16, 1, 1)
         for i, (f, d) in enumerate(zip(self.f_channels, dilations)):
             last = i == len(self.f_channels) - 1
             x = ConvBlock(f, dilation=d, relu=not last, dtype=self.dtype,
-                          name=f"conv{i}")(x, pad_out=not last)
+                          name=f"conv{i}")(x, pad_out=not last,
+                                           img_hw=img_hw)
         return x
 
 
