@@ -119,6 +119,66 @@ def _load_params(conf, scale_sgu_head=None):
     return params, used_ckpt
 
 
+def _bench_train_step(device, crop_hw=(256, 832), raw_hw=(320, 896),
+                      iters=8, batch=None):
+    """Training throughput (VERDICT r2 item 6): the full reference
+    fine-tune recipe (photo + census + smooth + msd 'upup' + SGU +
+    boundary-dilated warp — simple_train.py:119-156) at the reference
+    crop 256x832, fp32, one chip.  Chained-loop timed like the
+    inference bench: TRAIN_ITERS optimizer steps back-to-back inside
+    one jit (state threads through, so nothing is memoized), one host
+    sync at the end."""
+    TRAIN_ITERS = iters
+    nb = BATCH if batch is None else batch
+    from upflow_pytorch_tpu.config import TrainerConfig, UPFlowConfig
+    from upflow_pytorch_tpu.data.synthetic import make_dataset
+    from upflow_pytorch_tpu.models.upflow import build_model, init_params
+    from upflow_pytorch_tpu.train.step import (
+        TrainState, make_optimizer, make_train_step)
+
+    conf = UPFlowConfig().updated(dict(
+        if_norm_before_cost_volume=True,
+        norm_moments_across_channels=False,
+        norm_moments_across_images=False,
+        if_sgu_upsample=True,
+        if_use_cor_pytorch=False,
+        photo_loss_census_weight=1.0,
+        multi_scale_distillation_weight=0.01,
+        multi_scale_distillation_style="upup",
+        multi_scale_distillation_occ=True,
+        if_use_boundary_warp=True,
+    ))
+    model = build_model(conf)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_params(conf, jax.random.PRNGKey(0))
+    tx = make_optimizer(TrainerConfig())
+    params = jax.device_put(params, device)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model, tx)
+
+    data = make_dataset(nb, seed=11, raw_hw=raw_hw, crop_hw=crop_hw)
+    batch = {k: jax.device_put(jnp.asarray(v), device)
+             for k, v in data.items() if k != "gt_flow"}
+
+    @jax.jit
+    def k_train(state, batch):
+        def body(i, st):
+            st, _ = step_fn(st, batch)
+            return st
+        st = jax.lax.fori_loop(0, TRAIN_ITERS, body, state)
+        return jnp.sum(st.params["params"]["flow_estimators"]
+                       ["conv_last"]["conv"]["kernel"])
+
+    float(k_train(state, batch))  # compile + warm
+    times = []
+    for _ in range(TIMED_RUNS):
+        t0 = time.perf_counter()
+        float(k_train(state, batch))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return nb * TRAIN_ITERS / times[len(times) // 2]
+
+
 def main():
     from upflow_pytorch_tpu.config import UPFlowConfig
     from upflow_pytorch_tpu.models.upflow import build_model
@@ -159,7 +219,7 @@ def main():
         return jnp.sum(flow_f) + jnp.sum(flow_b)
 
     @jax.jit
-    def flows_pair(params, im1, im2):
+    def flows_pair(params, im1, im2, gt):
         f16 = model.apply(params, im1, im2)[0].astype(jnp.float32)
         f32 = model_fp32.apply(params, im1, im2)[0]
         d = jnp.linalg.norm(f16 - f32, axis=-1)
@@ -168,16 +228,19 @@ def main():
         # numeric variants of this model disagree completely on the ~1%
         # of pixels whose mask bit flips, so the distribution metrics
         # are the meaningful parity gate
-        epe16 = jnp.mean(jnp.linalg.norm(f16, axis=-1))
-        epe32 = jnp.mean(jnp.linalg.norm(f32, axis=-1))
+        e16 = jnp.linalg.norm(f16 - gt, axis=-1)[:, 8:-8, 8:-8]
+        e32 = jnp.linalg.norm(f32 - gt, axis=-1)[:, 8:-8, 8:-8]
         return (jnp.mean(d), jnp.mean(d > 1.0), jnp.max(d),
-                jnp.abs(epe16 - epe32))
+                jnp.mean(e16), jnp.mean(e32))
 
-    rng = np.random.RandomState(0)
-    im1 = jax.device_put(rng.rand(BATCH, HEIGHT, WIDTH, 3).astype(np.float32),
-                         device)
-    im2 = jax.device_put(rng.rand(BATCH, HEIGHT, WIDTH, 3).astype(np.float32),
-                         device)
+    # in-distribution inputs: analytic-texture pairs with real (known)
+    # flow between them (data/synthetic.py) — the trained-checkpoint
+    # parity/branch measurements are meaningless on uniform noise
+    from upflow_pytorch_tpu.data.synthetic import make_dataset
+    data = make_dataset(BATCH, seed=7, raw_hw=(HEIGHT, WIDTH),
+                        crop_hw=(HEIGHT, WIDTH))
+    im1 = jax.device_put(data["im1"], device)
+    im2 = jax.device_put(data["im2"], device)
 
     k_steps = _timed_loop_fn(fwd)
     overhead = _dispatch_overhead()
@@ -187,9 +250,22 @@ def main():
     pairs_per_sec = BATCH * ITERS / dt_in
     pairs_per_sec_fallback = BATCH * ITERS / dt_out
 
-    # bf16-vs-fp32 parity gate (same weights, same inputs): max abs flow
-    # component error and mean-flow-magnitude (synthetic EPE) delta
-    mean_e, frac_gt1, max_e, epe_d = flows_pair(params_in, im1, im2)
+    # parity gate on the SAME weights + in-distribution inputs with exact
+    # GT: EPE vs ground truth for the bf16 headline path and the fp32
+    # oracle path, plus their pixelwise drift
+    gt = jax.device_put(data["gt_flow"], device)
+    mean_e, frac_gt1, max_e, epe16, epe32 = flows_pair(
+        params_in, im1, im2, gt)
+
+    # training throughput (guarded: the inference headline must never
+    # die on the train lane; skip with UPFLOW_BENCH_TRAIN=0)
+    train_pps: object = "skipped"
+    if os.environ.get("UPFLOW_BENCH_TRAIN", "1") != "0":
+        try:
+            train_pps = round(_bench_train_step(device), 3)
+        except Exception as e:  # pragma: no cover - defensive
+            train_pps = "error: " + repr(e)[:120]
+
     print(json.dumps({
         "metric": "kitti2015_inference_throughput_384x1280_bf16_bidir",
         "value": round(pairs_per_sec, 3),
@@ -198,10 +274,12 @@ def main():
         "sgu_fallback_pairs_per_sec": round(pairs_per_sec_fallback, 3),
         "loop_dispatch_overhead_s": round(overhead, 4),
         "weights": "synthetic_trained" if used_ckpt else "kaiming+sgu_scale",
+        "epe_vs_gt_bf16_px": round(float(epe16), 4),
+        "epe_vs_gt_fp32_px": round(float(epe32), 4),
         "bf16_vs_fp32_mean_epe_px": round(float(mean_e), 4),
         "bf16_vs_fp32_frac_gt_1px": round(float(frac_gt1), 5),
         "bf16_vs_fp32_max_epe_px": round(float(max_e), 2),
-        "bf16_vs_fp32_mean_flow_mag_delta_px": round(float(epe_d), 4),
+        "train_pairs_per_sec_fp32_256x832": train_pps,
     }))
 
 

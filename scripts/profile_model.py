@@ -74,6 +74,67 @@ def trace_inventory(trace_dir):
         print(f"{v:9.2f} ms  {k}")
 
 
+def profile_train(args):
+    """Train-step lane (VERDICT r2 item 6): time + trace one jitted
+    optimizer step of the full reference fine-tune recipe, so the
+    backward (Pallas conv VJP's materialized-concat XLA convs, warp VJP
+    scatter-adds) gets an op inventory of its own."""
+    from upflow_pytorch_tpu.config import TrainerConfig, UPFlowConfig
+    from upflow_pytorch_tpu.data.synthetic import make_dataset
+    from upflow_pytorch_tpu.models.upflow import build_model, init_params
+    from upflow_pytorch_tpu.train.step import (
+        TrainState, make_optimizer, make_train_step)
+
+    conf = UPFlowConfig().updated(dict(
+        if_norm_before_cost_volume=True,
+        norm_moments_across_channels=False,
+        norm_moments_across_images=False,
+        if_sgu_upsample=True,
+        if_use_cor_pytorch=False,
+        photo_loss_census_weight=1.0,
+        multi_scale_distillation_weight=0.01,
+        multi_scale_distillation_style="upup",
+        multi_scale_distillation_occ=True,
+        if_use_boundary_warp=True,
+    ))
+    model = build_model(conf)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_params(conf, jax.random.PRNGKey(0))
+    if args.ckpt and os.path.exists(args.ckpt):
+        from upflow_pytorch_tpu.checkpoint.npz_io import load_params_npz
+        params = load_params_npz(args.ckpt, params)
+    tx = make_optimizer(TrainerConfig())
+    device = jax.devices()[0]
+    params = jax.device_put(params, device)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(make_train_step(model, tx))
+
+    h, w = args.height, args.width
+    data = make_dataset(args.batch, seed=11, raw_hw=(h + 64, w + 64),
+                        crop_hw=(h, w))
+    batch = {k: jax.device_put(jnp.asarray(v), device)
+             for k, v in data.items() if k != "gt_flow"}
+
+    state, _ = step_fn(state, batch)          # compile + warm
+    jax.block_until_ready(state.params)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, batch)
+        float(m["total_loss"])                # real host sync
+        ts.append(time.perf_counter() - t0)
+    ms = min(ts) * 1e3
+    print(f"train step B={args.batch} {h}x{w} fp32: {ms:.2f} ms/step, "
+          f"{args.batch / (ms / 1e3):.1f} pairs/s/chip")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(2):
+                state, m = step_fn(state, batch)
+                float(m["total_loss"])
+        trace_inventory(args.trace)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default="")
@@ -83,7 +144,18 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--no-nudge", action="store_true",
                     help="skip the SGU head scale-down")
+    ap.add_argument("--ckpt", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "synthetic_trained.npz"),
+        help="trained .npz weights (forward + train lanes); '' disables")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the training step instead of inference "
+                     "(use --height 256 --width 832 for the reference crop)")
     args = ap.parse_args()
+
+    if args.train:
+        profile_train(args)
+        return
 
     from upflow_pytorch_tpu.config import UPFlowConfig
     from upflow_pytorch_tpu.models.upflow import build_model, init_params
@@ -100,7 +172,10 @@ def main():
     model = build_model(conf)
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_params(conf, jax.random.PRNGKey(0))
-    if not args.no_nudge:
+    if args.ckpt and os.path.exists(args.ckpt):
+        from upflow_pytorch_tpu.checkpoint.npz_io import load_params_npz
+        params = load_params_npz(args.ckpt, params)
+    elif not args.no_nudge:
         cl = params["params"]["sgu_dense_estimator"]["dense"]["conv_last"]["conv"]
         cl["kernel"] = cl["kernel"] * 0.02
     device = jax.devices()[0]

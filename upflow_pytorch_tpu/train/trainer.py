@@ -195,8 +195,16 @@ class Trainer:
         if self.eval_bench is not None:
             self._eval_model.change_params(self.state.params)
             res = self.eval_bench(self._eval_model)
-            self.log("eval @%d: EPE All=%.2f F1=%.2f Noc=%.2f Occ=%.2f"
-                     % (step, res.epe_all, res.f1, res.epe_noc, res.epe_occ))
+            # padded-bucket metrics are approximate near padded borders
+            # (measured ~0.1 px EPE-class delta on trained weights, see
+            # tests/test_eval_padding.py); acceptance runs use native
+            # size (eval_pad_to_multiple=None)
+            approx = (" (pad=%d buckets, approximate)"
+                      % self._eval_model.pad_to_multiple
+                      if self._eval_model.pad_to_multiple else "")
+            self.log("eval @%d: EPE All=%.2f F1=%.2f Noc=%.2f Occ=%.2f%s"
+                     % (step, res.epe_all, res.f1, res.epe_noc, res.epe_occ,
+                        approx))
             if res.epe_all < self.best_metric:
                 self.best_metric = res.epe_all
         self.save(step)
