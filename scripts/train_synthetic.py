@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", default="")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--init", default="",
+                    help="warm-start from an .npz snapshot (fresh optimizer)")
     args = ap.parse_args()
 
     from upflow_pytorch_tpu.config import TrainerConfig, UPFlowConfig
@@ -73,6 +75,10 @@ def main():
     model = build_model(conf)
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_params(conf, jax.random.PRNGKey(args.seed))
+    if args.init:
+        from upflow_pytorch_tpu.checkpoint.npz_io import load_params_npz
+        params = load_params_npz(args.init, params)
+        print("warm-started from", args.init)
     tx = make_optimizer(trainer_conf)
     device = jax.devices()[0]
     params = jax.device_put(params, device)
