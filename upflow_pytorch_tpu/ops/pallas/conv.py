@@ -235,7 +235,12 @@ def _seg_kernel_stored(*refs, tile_h: int, tile_w: int, dilation: int,
                 rs = 0 if top else row0 - d
                 nr = rows - d if top else rows
                 ro = d if top else 0
-                cs = 0 if left else col0 - _L8
+                # col0 and _L8 are both multiples of 8, but Mosaic's
+                # divisibility prover cannot propagate the col0 hint
+                # through the subtraction — re-assert it on the result
+                # (tile index in the (8,128)-tiled stored memref's
+                # second-minor dim must be provably 8-divisible)
+                cs = 0 if left else pl.multiple_of(col0 - _L8, 8)
                 nc = slab_w - _L8 if left else slab_w
                 co = _L8 if left else 0
 
