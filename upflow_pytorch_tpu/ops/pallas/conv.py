@@ -53,6 +53,7 @@ clamps); the context network's single d=16 conv keeps the staged path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -432,7 +433,8 @@ def _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation: int, relu: bool,
     def spatial(x):
         return int(x.shape[1]), int(x.shape[2])
 
-    use_stored = d <= _TILE_H
+    use_stored = d <= _TILE_H and not os.environ.get(
+        "UPFLOW_FORCE_STAGED_CONV")
     if use_stored:
         try:
             tile_h, tile_w = _pick_tiles(h, wd, d, seg_ch, cout_l, n_pack,
