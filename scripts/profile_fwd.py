@@ -7,6 +7,9 @@ Recognized keys (everything else is exported as an env var BEFORE the
 model imports, so kernel-dispatch knobs like UPFLOW_DISABLE_PALLAS_CONV
 or UPFLOW_FORCE_STAGED_CONV work):
     iters=20 runs=3 batch=4 h=384 w=1280 dtype=bfloat16 trace=<dir>
+    ckpt=1 (load assets/synthetic_trained.npz — the bench weights, so
+    runtime lax.cond branches match the bench's in-window regime)
+    synth=1 (use analytic-texture inputs like bench.py instead of noise)
 
 Prints one JSON line: {"ms_per_iter": ..., "pairs_per_sec": ...}.
 """
@@ -21,7 +24,8 @@ import time
 args = {}
 for a in sys.argv[1:]:
     k, _, v = a.partition("=")
-    if k in ("iters", "runs", "batch", "h", "w", "dtype", "trace"):
+    if k in ("iters", "runs", "batch", "h", "w", "dtype", "trace", "ckpt",
+             "synth"):
         args[k] = v
     else:
         os.environ[k] = v
@@ -56,10 +60,24 @@ def main():
     device = jax.devices()[0]
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_params(conf, jax.random.PRNGKey(0))
+    if args.get("ckpt"):
+        from upflow_pytorch_tpu.checkpoint.npz_io import load_params_npz
+        params = load_params_npz(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "assets",
+                "synthetic_trained.npz"), params)
     params = jax.device_put(params, device)
     rng = np.random.RandomState(7)
-    im1 = jax.device_put(jnp.asarray(rng.rand(B, H, W, 3), jnp.float32), device)
-    im2 = jax.device_put(jnp.asarray(rng.rand(B, H, W, 3), jnp.float32), device)
+    if args.get("synth"):
+        from upflow_pytorch_tpu.data.synthetic import make_dataset
+        data = make_dataset(B, seed=7, raw_hw=(H, W), crop_hw=(H, W))
+        im1 = jax.device_put(jnp.asarray(data["im1"]), device)
+        im2 = jax.device_put(jnp.asarray(data["im2"]), device)
+    else:
+        im1 = jax.device_put(jnp.asarray(rng.rand(B, H, W, 3), jnp.float32),
+                             device)
+        im2 = jax.device_put(jnp.asarray(rng.rand(B, H, W, 3), jnp.float32),
+                             device)
 
     @jax.jit
     def k_steps(params, a, b, salt):

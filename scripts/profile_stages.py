@@ -46,6 +46,32 @@ from upflow_pytorch_tpu.config import UPFlowConfig  # noqa: E402
 from upflow_pytorch_tpu.models.upflow import build_model, init_params  # noqa: E402
 
 
+
+_OVH = None
+
+
+def _overhead():
+    """Median wall time of one ITERS-chained no-op loop invocation:
+    the dispatch + relay + host-sync cost baked into every chained
+    measurement here (measured, like bench.py's _dispatch_overhead)."""
+    global _OVH
+    if _OVH is None:
+        @jax.jit
+        def k_noop(salt):
+            def body(i, acc):
+                return acc + salt * jnp.float32(1e-9)
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+        float(k_noop(jnp.float32(1.0)))
+        ts = []
+        for i in range(RUNS):
+            t0 = time.perf_counter()
+            float(k_noop(jnp.float32(2.0 + i)))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        _OVH = ts[len(ts) // 2]
+    return _OVH
+
 def chained_time(fn, *xs):
     """Median seconds of a ITERS-chained loop of fn(*xs)."""
     @jax.jit
@@ -64,7 +90,7 @@ def chained_time(fn, *xs):
         float(k(jnp.float32(2.0 + i), *xs))
         times.append(time.perf_counter() - t0)
     times.sort()
-    return times[len(times) // 2] / ITERS, compile_s
+    return max(times[len(times) // 2] - _overhead(), 1e-9) / ITERS, compile_s
 
 
 def main():

@@ -118,6 +118,45 @@ def test_spatial_sharding_op_pipeline_exact():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_full_model_spatial_sharded_eval():
+    """FULL-model eval (SGU upsampling on) with width sharded spatial=2
+    (VERDICT r3 item 6): must compile, execute, and produce finite flows
+    at the right shapes; every Pallas fast path is auto-disabled at
+    trace time by make_sharded_eval_step (ops/pallas_gate.py)."""
+    from upflow_pytorch_tpu.ops import pallas_gate
+
+    conf = CONF.updated(dict(if_sgu_upsample=True))
+    mesh = make_mesh(data=2, spatial=2)
+    model, state, _ = create_train_state(conf, TrainerConfig())
+    eval_step = make_sharded_eval_step(model, mesh, spatial=True)
+    params = replicate(mesh, state.params)
+    rng = np.random.RandomState(3)
+    im = np.asarray(rng.rand(2, 32, 64, 3), np.float32)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("data", None, "spatial"))
+    im = jax.device_put(im, sh)
+    flow_f, flow_b, occ_fw, occ_bw = eval_step(params, im, im)
+    assert flow_f.shape == (2, 32, 64, 2)
+    assert np.isfinite(np.asarray(flow_f)).all()
+    assert not pallas_gate.pallas_disabled()  # scope restored post-trace
+
+
+def test_pallas_gate_context():
+    from upflow_pytorch_tpu.ops import pallas_gate
+    from upflow_pytorch_tpu.ops.warp import _pallas_warp_enabled
+
+    x = jnp.zeros((1, 8, 16, 2))
+    assert not pallas_gate.pallas_disabled()
+    with pallas_gate.disable_pallas():
+        assert pallas_gate.pallas_disabled()
+        assert not _pallas_warp_enabled(x)
+        with pallas_gate.disable_pallas():
+            assert pallas_gate.pallas_disabled()
+        assert pallas_gate.pallas_disabled()  # nesting restores inner prev
+    assert not pallas_gate.pallas_disabled()
+
+
 @pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge

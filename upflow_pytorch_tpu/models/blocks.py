@@ -57,7 +57,9 @@ def _pallas_conv_enabled(x, kernel_size: int, stride: int,
     3x3/stride-1 on TPU; it computes in bf16 (fp32 accumulation), so it
     engages only when the model explicitly opted into bfloat16 compute.
     Tiny maps stay on XLA (grid overhead dominates)."""
-    if os.environ.get("UPFLOW_DISABLE_PALLAS_CONV"):
+    from upflow_pytorch_tpu.ops.pallas_gate import pallas_disabled
+
+    if pallas_disabled() or os.environ.get("UPFLOW_DISABLE_PALLAS_CONV"):
         return False
     if kernel_size != 3 or stride != 1 or compute_dtype != jnp.bfloat16:
         return False

@@ -184,9 +184,15 @@ class UPFlowNet(nn.Module):
         route through the XLA formulation via custom VJP."""
         oh, ow = int(output_hw[0]), int(output_hw[1])
 
+        import os
+
         from upflow_pytorch_tpu.ops.warp import _pallas_warp_enabled
 
-        if not _pallas_warp_enabled(flow_q):
+        # UPFLOW_SGU_FINAL=xla|pallas overrides the dispatch (A/B knob;
+        # round-4 profiling measured the XLA composition FASTER than the
+        # fused kernel at KITTI shapes — see docs/STATUS_ROUND4.md)
+        mode = os.environ.get("UPFLOW_SGU_FINAL", "")
+        if mode == "xla" or not _pallas_warp_enabled(flow_q):
             return _sgu_final_xla((oh, ow), (flow_q, x_out))
         return _sgu_final_op((oh, ow), flow_q, x_out)
 

@@ -49,7 +49,9 @@ def _pallas_available() -> bool:
     overrides (e.g. CPU-side param init) like the warp dispatch does."""
     import os
 
-    if os.environ.get("UPFLOW_DISABLE_PALLAS_CORR"):
+    from upflow_pytorch_tpu.ops.pallas_gate import pallas_disabled
+
+    if pallas_disabled() or os.environ.get("UPFLOW_DISABLE_PALLAS_CORR"):
         return False
     if jax.default_backend() != "tpu":
         return False

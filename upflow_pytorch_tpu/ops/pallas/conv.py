@@ -79,13 +79,75 @@ def stored_hw(h: int, w: int):
     return _ceil_to(h, _TILE_H) + _ROW_SLACK, _ceil_to(w, 8) + _COL_SLACK
 
 
+def _compute_tile(slab_view, w_ref, b_ref, out_ref, *, tile_h, tile_w,
+                  slab_w, d, seg_ch, cout, relu, tap_pack, o):
+    """Shared compute epilogue on a coalesced (rows, slab_w, Ctot) slab.
+
+    ``o`` is the lane base offset of image column ``col0`` inside the
+    slab (0 on the staged path whose inputs are pre-padded by d; 8 - d
+    on the stored path which self-fetches an 8-aligned left halo).
+
+    Wide-cout path (cout >= 96): the 3 kx taps are packed along N
+    (w laid out (3, Ctot, 3*cout_l)), so each ky is ONE dot of
+    N = 3*cout_l over the whole channel dim — 3 dots per tile instead
+    of 9*n_seg (round-4 rewrite; the narrow per-(ky,seg) dots left the
+    MXU underfed).  kx blocks then combine by aligned lane slices +
+    sublane rolls of the fp32 z.
+
+    Small-cout path: ONE dot for the whole slab with all 9 taps packed
+    along N (w (Ctot, 9*cout_p)); taps combine by row slices, sublane
+    rolls and lane rolls.  This sidesteps XLA:TPU's tiny-N conv
+    pathology (cout=2 convs measured at 1 TFLOP/s there).
+    """
+    dn = (((2,), (0,)), ((), ()))
+    if not tap_pack:
+        cout_l = w_ref.shape[-1] // 3
+        accs = [None, None, None]
+        for ky in range(3):
+            lhs = slab_view[ky * d:ky * d + tile_h]
+            z = jax.lax.dot_general(lhs, w_ref[ky], dn,
+                                    preferred_element_type=jnp.float32)
+            for kx in range(3):
+                zz = z[:, :, kx * cout_l:(kx + 1) * cout_l]
+                accs[kx] = zz if accs[kx] is None else accs[kx] + zz
+        acc = None
+        for kx in range(3):
+            sh = o + kx * d
+            zz = (pltpu.roll(accs[kx], slab_w - sh, 1) if sh
+                  else accs[kx])[:, 0:tile_w]
+            acc = zz if acc is None else acc + zz
+    else:
+        n_pack = w_ref.shape[-1]
+        z = jax.lax.dot_general(slab_view, w_ref[...], dn,
+                                preferred_element_type=jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_pack), 2)
+        acc = jnp.zeros((tile_h, tile_w, n_pack), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                t = ky * 3 + kx
+                zz = z[ky * d:ky * d + tile_h]
+                sh = o + kx * d
+                if sh:
+                    zz = pltpu.roll(zz, slab_w - sh, 1)
+                zz = zz[:, 0:tile_w]
+                if t:
+                    zz = pltpu.roll(zz, n_pack - t * cout, 2)
+                acc = acc + jnp.where(lane < cout, zz, 0.0)
+        acc = acc[:, :, :out_ref.shape[-1]]
+    acc = acc + b_ref[0].astype(jnp.float32)[None, None, :]
+    if relu:
+        acc = jnp.where(acc >= 0, acc, acc * 0.1)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
 def _seg_kernel(*refs, tile_h: int, tile_w: int, dilation: int,
                 seg_ch, cout: int, relu: bool, tap_pack: bool):
     """Grid (B, H/tile_h, W/tile_w).
 
-    refs: [x_0 .. x_{S-1}] (HBM, padded), w (VMEM, (3, 3, Cin_tot, cout)),
-          b (VMEM, (1, cout)), out (VMEM block), then scratch:
-          [slab_0 .. slab_{S-1}] (VMEM (2, tile_h+2d, slab_w, C_s)), sems
+    refs: [x_0 .. x_{S-1}] (HBM, padded), w (VMEM), b (VMEM, (1, cout)),
+          out (VMEM block), then scratch: slab (VMEM
+          (2, tile_h+2d, slab_w, Ctot) — ONE coalesced buffer, each
+          segment DMA'd to its 128-aligned channel offset), sems
           ((S, 2) DMA semaphores).
     """
     n_seg = len(seg_ch)
@@ -93,8 +155,8 @@ def _seg_kernel(*refs, tile_h: int, tile_w: int, dilation: int,
     w_ref = refs[n_seg]
     b_ref = refs[n_seg + 1]
     out_ref = refs[n_seg + 2]
-    slabs = refs[n_seg + 3:n_seg + 3 + n_seg]
-    sems = refs[n_seg + 3 + n_seg]
+    slab = refs[n_seg + 3]
+    sems = refs[n_seg + 4]
 
     bi = pl.program_id(0)
     ti = pl.program_id(1)
@@ -106,6 +168,9 @@ def _seg_kernel(*refs, tile_h: int, tile_w: int, dilation: int,
     step = (bi * n_i + ti) * n_j + tj
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
+    ch0 = [0]
+    for c in seg_ch[:-1]:
+        ch0.append(ch0[-1] + c)
 
     def start_copies(b_, ti_, tj_, slot_):
         row0 = ti_ * tile_h
@@ -114,7 +179,8 @@ def _seg_kernel(*refs, tile_h: int, tile_w: int, dilation: int,
             pltpu.make_async_copy(
                 x_refs[s].at[b_, pl.ds(row0, tile_h + 2 * d),
                              pl.ds(col0, slab_w)],
-                slabs[s].at[slot_],
+                slab.at[slot_, slice(None), slice(None),
+                        pl.ds(ch0[s], seg_ch[s])],
                 sems.at[s, slot_],
             ).start()
 
@@ -135,62 +201,13 @@ def _seg_kernel(*refs, tile_h: int, tile_w: int, dilation: int,
     for s in range(n_seg):
         pltpu.make_async_copy(
             x_refs[s].at[bi, pl.ds(0, tile_h + 2 * d), pl.ds(0, slab_w)],
-            slabs[s].at[slot], sems.at[s, slot]).wait()
+            slab.at[slot, slice(None), slice(None),
+                    pl.ds(ch0[s], seg_ch[s])],
+            sems.at[s, slot]).wait()
 
-    dn = (((2,), (0,)), ((), ()))
-    ch0 = [0]
-    for c in seg_ch[:-1]:
-        ch0.append(ch0[-1] + c)
-    if not tap_pack:
-        # wide-cout path: per (ky, segment) dot at N=cout; column taps
-        # combined by rolling the fp32 accumulator
-        accs = []
-        for kx in range(3):
-            acc = None
-            for ky in range(3):
-                for s, cs in enumerate(seg_ch):
-                    lhs = slabs[s][slot, ky * d:ky * d + tile_h]
-                    wseg = w_ref[ky, kx, ch0[s]:ch0[s] + cs]
-                    z = jax.lax.dot_general(
-                        lhs, wseg, dn, preferred_element_type=jnp.float32)
-                    acc = z if acc is None else acc + z
-            accs.append(acc)
-        acc = accs[0][:, 0:tile_w]
-        for kx in (1, 2):
-            z = pltpu.roll(accs[kx], slab_w - kx * d, 1)
-            acc = acc + z[:, 0:tile_w]
-    else:
-        # small-cout path: ONE dot per segment over the whole slab with
-        # all 9 taps packed along N (w laid out (Cin_tot, 9*cout_p));
-        # taps then combine by row slices (untiled dim), sublane rolls
-        # (column offset) and lane rolls (tap block -> block 0).  This
-        # sidesteps XLA:TPU's tiny-N conv pathology (cout=2 convs
-        # measured at 1 TFLOP/s there).
-        n_pack = w_ref.shape[-1]
-        z = None
-        for s, cs in enumerate(seg_ch):
-            lhs = slabs[s][slot]  # (tile_h + 2d, slab_w, cs)
-            wseg = w_ref[ch0[s]:ch0[s] + cs]
-            zz = jax.lax.dot_general(lhs, wseg, dn,
-                                     preferred_element_type=jnp.float32)
-            z = zz if z is None else z + zz
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_pack), 2)
-        acc = jnp.zeros((tile_h, tile_w, n_pack), jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                t = ky * 3 + kx
-                zz = z[ky * d:ky * d + tile_h]
-                if kx:
-                    zz = pltpu.roll(zz, slab_w - kx * d, 1)
-                zz = zz[:, 0:tile_w]
-                if t:
-                    zz = pltpu.roll(zz, n_pack - t * cout, 2)
-                acc = acc + jnp.where(lane < cout, zz, 0.0)
-        acc = acc[:, :, :out_ref.shape[-1]]
-    acc = acc + b_ref[0].astype(jnp.float32)[None, None, :]
-    if relu:
-        acc = jnp.where(acc >= 0, acc, acc * 0.1)
-    out_ref[0] = acc.astype(out_ref.dtype)
+    _compute_tile(slab[slot], w_ref, b_ref, out_ref, tile_h=tile_h,
+                  tile_w=tile_w, slab_w=slab_w, d=d, seg_ch=seg_ch,
+                  cout=cout, relu=relu, tap_pack=tap_pack, o=0)
 
 
 def _seg_kernel_stored(*refs, tile_h: int, tile_w: int, dilation: int,
@@ -211,8 +228,8 @@ def _seg_kernel_stored(*refs, tile_h: int, tile_w: int, dilation: int,
     w_ref = refs[n_seg]
     b_ref = refs[n_seg + 1]
     out_ref = refs[n_seg + 2]
-    slabs = refs[n_seg + 3:n_seg + 3 + n_seg]
-    sems = refs[n_seg + 3 + n_seg]
+    slab = refs[n_seg + 3]
+    sems = refs[n_seg + 4]
 
     bi = pl.program_id(0)
     ti = pl.program_id(1)
@@ -225,6 +242,9 @@ def _seg_kernel_stored(*refs, tile_h: int, tile_w: int, dilation: int,
     step = (bi * n_i + ti) * n_j + tj
     slot = jax.lax.rem(step, 2)
     nxt = jax.lax.rem(step + 1, 2)
+    ch0 = [0]
+    for c in seg_ch[:-1]:
+        ch0.append(ch0[-1] + c)
 
     def issue(b_, ti_, tj_, slot_, start):
         row0 = ti_ * tile_h
@@ -250,7 +270,8 @@ def _seg_kernel_stored(*refs, tile_h: int, tile_w: int, dilation: int,
                     for s in range(n_seg):
                         cp = pltpu.make_async_copy(
                             x_refs[s].at[b_, pl.ds(rs, nr), pl.ds(cs, nc)],
-                            slabs[s].at[slot_, pl.ds(ro, nr), pl.ds(co, nc)],
+                            slab.at[slot_, pl.ds(ro, nr), pl.ds(co, nc),
+                                    pl.ds(ch0[s], seg_ch[s])],
                             sems.at[s, slot_])
                         (cp.start if start else cp.wait)()
 
@@ -267,15 +288,13 @@ def _seg_kernel_stored(*refs, tile_h: int, tile_w: int, dilation: int,
     issue(bi, ti, tj, slot, False)   # wait (mirrors the started shapes)
 
     # --- zero the slab regions that fall outside the real image --------
+    ctot = sum(seg_ch)
+
     def zero_rows(lo, hi):
-        for s in range(n_seg):
-            slabs[s][slot, lo:hi] = jnp.zeros(
-                (hi - lo, slab_w, seg_ch[s]), slabs[s].dtype)
+        slab[slot, lo:hi] = jnp.zeros((hi - lo, slab_w, ctot), slab.dtype)
 
     def zero_cols(lo, hi):
-        for s in range(n_seg):
-            slabs[s][slot, :, lo:hi] = jnp.zeros(
-                (rows, hi - lo, seg_ch[s]), slabs[s].dtype)
+        slab[slot, :, lo:hi] = jnp.zeros((rows, hi - lo, ctot), slab.dtype)
 
     if d > 0:
         @pl.when(ti == 0)
@@ -302,57 +321,9 @@ def _seg_kernel_stored(*refs, tile_h: int, tile_w: int, dilation: int,
         def _(cb=cb):
             zero_cols(max(cb, 0), slab_w)
 
-    # --- compute (as _seg_kernel, with lane base offset o = 8 - d) -----
-    dn = (((2,), (0,)), ((), ()))
-    o = _L8 - d
-    ch0 = [0]
-    for c in seg_ch[:-1]:
-        ch0.append(ch0[-1] + c)
-    if not tap_pack:
-        accs = []
-        for kx in range(3):
-            acc = None
-            for ky in range(3):
-                for s, cs in enumerate(seg_ch):
-                    lhs = slabs[s][slot, ky * d:ky * d + tile_h]
-                    wseg = w_ref[ky, kx, ch0[s]:ch0[s] + cs]
-                    z = jax.lax.dot_general(
-                        lhs, wseg, dn, preferred_element_type=jnp.float32)
-                    acc = z if acc is None else acc + z
-            accs.append(acc)
-        acc = None
-        for kx in range(3):
-            sh = o + kx * d
-            z = (pltpu.roll(accs[kx], slab_w - sh, 1) if sh else accs[kx])
-            z = z[:, 0:tile_w]
-            acc = z if acc is None else acc + z
-    else:
-        n_pack = w_ref.shape[-1]
-        z = None
-        for s, cs in enumerate(seg_ch):
-            lhs = slabs[s][slot]
-            wseg = w_ref[ch0[s]:ch0[s] + cs]
-            zz = jax.lax.dot_general(lhs, wseg, dn,
-                                     preferred_element_type=jnp.float32)
-            z = zz if z is None else z + zz
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_pack), 2)
-        acc = jnp.zeros((tile_h, tile_w, n_pack), jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                t = ky * 3 + kx
-                zz = z[ky * d:ky * d + tile_h]
-                sh = o + kx * d
-                if sh:
-                    zz = pltpu.roll(zz, slab_w - sh, 1)
-                zz = zz[:, 0:tile_w]
-                if t:
-                    zz = pltpu.roll(zz, n_pack - t * cout, 2)
-                acc = acc + jnp.where(lane < cout, zz, 0.0)
-        acc = acc[:, :, :out_ref.shape[-1]]
-    acc = acc + b_ref[0].astype(jnp.float32)[None, None, :]
-    if relu:
-        acc = jnp.where(acc >= 0, acc, acc * 0.1)
-    out_ref[0] = acc.astype(out_ref.dtype)
+    _compute_tile(slab[slot], w_ref, b_ref, out_ref, tile_h=tile_h,
+                  tile_w=tile_w, slab_w=slab_w, d=d, seg_ch=seg_ch,
+                  cout=cout, relu=relu, tap_pack=tap_pack, o=_L8 - d)
 
 
 def _pick_tiles(h: int, w: int, d: int, seg_ch, cout_l: int,
@@ -379,8 +350,9 @@ def _pick_tiles(h: int, w: int, d: int, seg_ch, cout_l: int,
                     + 4 * tile_h * tw * n_pack * 4)
             wmem = sum(seg_ch) * n_pack * 2
         else:
-            work = (3 * tile_h * sw * cout_l * 4
-                    + tile_h * tw * cout_l * 4)
+            # kx-packed z (tile_h, sw, 3*cout_l) fp32 + acc + roll temp
+            work = (tile_h * sw * 3 * cout_l * 4
+                    + 3 * tile_h * tw * cout_l * 4)
         if slabs + work + wmem <= _VMEM_BUDGET:
             return tile_h, tw
     raise ValueError(f"no feasible tiling h={h} w={w} segs={seg_ch}")
@@ -399,8 +371,10 @@ def _pack_weights(w, b, real_chs, seg_ch, cout, cout_l, tap_pack, n_pack):
         wb = jnp.pad(wb, ((0, 0), (0, n_pack - 9 * cout))
                      ).astype(jnp.bfloat16)
     else:
-        wb = jnp.pad(wcat, ((0, 0), (0, 0), (0, 0), (0, cout_l - cout))
-                     ).astype(jnp.bfloat16)
+        # (3, Cin_tot, 3*cout_l): per ky, the 3 kx taps packed along N
+        wb = jnp.pad(wcat, ((0, 0), (0, 0), (0, 0), (0, cout_l - cout)))
+        wb = wb.transpose(0, 2, 1, 3).reshape(
+            3, sum(seg_ch), 3 * cout_l).astype(jnp.bfloat16)
     bb = jnp.pad(b.astype(jnp.float32), (0, cout_l - cout)).reshape(1, cout_l)
     return wb, bb
 
@@ -496,9 +470,9 @@ def _conv3x3_seg_fwd(inputs, real_chs, w, b, dilation: int, relu: bool,
         out_shape=jax.ShapeDtypeStruct((bsz,) + out_hw + (cout_l,),
                                        inputs[0].dtype),
         scratch_shapes=(
-            [pltpu.VMEM((2, tile_h + 2 * d, slab_w, c), jnp.bfloat16)
-             for c in seg_ch]
-            + [pltpu.SemaphoreType.DMA((len(inputs), 2))]),
+            [pltpu.VMEM((2, tile_h + 2 * d, slab_w, sum(seg_ch)),
+                        jnp.bfloat16),
+             pltpu.SemaphoreType.DMA((len(inputs), 2))]),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * hp * wp * sum(seg_ch) * cout_l * 9,
             bytes_accessed=2 * bsz * hp * wp * (sum(seg_ch) + cout_l),

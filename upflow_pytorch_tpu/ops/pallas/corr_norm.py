@@ -369,6 +369,10 @@ def warp_norm_corr_viable(shape, disp: int = 4,
                           vmem_budget: int = 13 * 1024 * 1024) -> bool:
     """Trace-time gate: VMEM fit (lane-padded blocks) and worthwhile
     width (narrow coarse levels keep the existing per-op path)."""
+    from upflow_pytorch_tpu.ops.pallas_gate import pallas_disabled
+
+    if pallas_disabled():
+        return False
     b, h, w, c = shape
     if disp > 4 or w < 128:
         return False

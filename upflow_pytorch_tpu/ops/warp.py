@@ -46,7 +46,9 @@ def _pallas_warp_enabled(x: jax.Array) -> bool:
     flows outside its displacement window); dispatch is static at trace
     time.  Disable with UPFLOW_DISABLE_PALLAS_WARP=1.
     """
-    if os.environ.get("UPFLOW_DISABLE_PALLAS_WARP"):
+    from upflow_pytorch_tpu.ops.pallas_gate import pallas_disabled
+
+    if pallas_disabled() or os.environ.get("UPFLOW_DISABLE_PALLAS_WARP"):
         return False
     if x.shape[-1] > 4 or jax.default_backend() != "tpu":
         return False
@@ -542,7 +544,10 @@ def _feature_warp_enabled(x: jax.Array) -> bool:
     (C=32/64 at 1/4 and 1/8 resolution) that XLA otherwise lowers to
     ~1.6 ms scalar-core gathers each.  Small maps stay on XLA (margin
     padding dominates below ~32 rows)."""
-    if os.environ.get("UPFLOW_DISABLE_PALLAS_FEATURE_WARP"):
+    from upflow_pytorch_tpu.ops.pallas_gate import pallas_disabled
+
+    if pallas_disabled() or os.environ.get(
+            "UPFLOW_DISABLE_PALLAS_FEATURE_WARP"):
         return False
     b, h, w, c = x.shape
     if not (8 <= c <= 64) or h < 32 or w < 128:

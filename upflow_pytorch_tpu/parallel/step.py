@@ -34,16 +34,23 @@ def make_sharded_eval_step(model: UPFlowNet, mesh: Mesh,
     'spatial' axis (SURVEY §5's large-frame plan): GSPMD inserts the halo
     exchanges for the convolutions and the collectives for the warp
     gathers automatically.  Intended for frames too large for one chip's
-    HBM; for KITTI-scale frames plain data parallelism is faster.  (The
-    Pallas fast-warp path does not partition; disable it with
-    UPFLOW_DISABLE_PALLAS_WARP=1 when using spatial sharding on TPU.)
+    HBM; for KITTI-scale frames plain data parallelism is faster.  Every
+    Pallas fast path is force-disabled at trace time under spatial
+    sharding (the kernels assume full-width arrays; the XLA formulations
+    partition exactly) — no env knob needed.
     """
+    from upflow_pytorch_tpu.ops.pallas_gate import disable_pallas
+
     repl = NamedSharding(mesh, P())
     img = NamedSharding(mesh, P("data", None, "spatial") if spatial
                         else P("data"))
 
     def eval_step(params, im1, im2):
-        out = forward(model, params, im1, im2)
+        if spatial:
+            with disable_pallas():
+                out = forward(model, params, im1, im2)
+        else:
+            out = forward(model, params, im1, im2)
         return out["flow_f_out"], out["flow_b_out"], out["occ_fw"], out["occ_bw"]
 
     return jax.jit(eval_step,
