@@ -42,7 +42,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init", default="",
                     help="warm-start from an .npz snapshot (fresh optimizer)")
+    # motion distribution (KITTI-2015 motions reach >100 px at native
+    # resolution; the v2 large-motion regime trains with shifts that
+    # exercise the coarse pyramid levels, the SGU medium warp tier, and
+    # the warp fallback branches — VERDICT r3 item 5)
+    ap.add_argument("--max-shift", type=float, default=4.0)
+    ap.add_argument("--max-rot", type=float, default=0.008)
+    ap.add_argument("--max-zoom", type=float, default=0.01)
     args = ap.parse_args()
+    assert args.raw_margin >= int(args.max_shift) + 2, \
+        "raw margin must cover the shift range for the boundary warp"
 
     from upflow_pytorch_tpu.config import TrainerConfig, UPFlowConfig
     from upflow_pytorch_tpu.data.synthetic import epe, make_dataset
@@ -69,7 +78,9 @@ def main():
         args.pairs, seed=args.seed,
         raw_hw=(args.height + 2 * args.raw_margin,
                 args.width + 2 * args.raw_margin),
-        crop_hw=(args.height, args.width))
+        crop_hw=(args.height, args.width),
+        max_shift=args.max_shift, max_rot=args.max_rot,
+        max_zoom=args.max_zoom)
     gt = data.pop("gt_flow")
 
     model = build_model(conf)

@@ -67,31 +67,46 @@ def _warp_kernel(flow_ref, src_ref, out_ref, *, n_ch: int, yb: int, t: int,
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
+    # per-tile tap ranges: a block whose rows/cols intersect no pixel's
+    # bilinear support is skipped at runtime (smooth flows touch ~4 of
+    # the YB*T candidate blocks per tile, so large windows stay cheap)
+    y0_min = jnp.min(y0i)
+    y0_max = jnp.max(y0i)
+    x0_min = jnp.min(x0i)
+    x0_max = jnp.max(x0i)
+
     def step(s, acc):
         b_y = s // t
         b_t = s - b_y * t
-        xl0 = x0i - (b_t - 1) * _LANE
-        xl1 = xl0 + 1
-        val0 = ((xl0 >= 0) & (xl0 < _LANE)).astype(jnp.float32)
-        val1 = ((xl1 >= 0) & (xl1 < _LANE)).astype(jnp.float32)
-        xg0 = jnp.clip(xl0, 0, _LANE - 1)
-        xg1 = jnp.clip(xl1, 0, _LANE - 1)
-        wxa = wx0 * val0
-        wxb = wx1 * val1
         row_base = b_y * _SUB - off_y
-        for j in range(_SUB):
-            row_local = row_base + j
-            wy_match = (jnp.where(y0i == row_local, wy0, 0.0)
-                        + jnp.where(y0i + 1 == row_local, wy1, 0.0))
-            new_acc = []
-            for c in range(n_ch):
-                brow = jnp.broadcast_to(
-                    src_ref[0, s, c, j:j + 1, :], (_SUB, _LANE))
-                g0 = jnp.take_along_axis(brow, xg0, axis=1)
-                g1 = jnp.take_along_axis(brow, xg1, axis=1)
-                new_acc.append(acc[c] + wy_match * (wxa * g0 + wxb * g1))
-            acc = tuple(new_acc)
-        return acc
+        col_base = (b_t - 1) * _LANE
+        hit = ((y0_max + 1 >= row_base) & (y0_min <= row_base + _SUB - 1)
+               & (x0_max + 1 >= col_base) & (x0_min <= col_base + _LANE - 1))
+
+        def compute(acc):
+            xl0 = x0i - col_base
+            xl1 = xl0 + 1
+            val0 = ((xl0 >= 0) & (xl0 < _LANE)).astype(jnp.float32)
+            val1 = ((xl1 >= 0) & (xl1 < _LANE)).astype(jnp.float32)
+            xg0 = jnp.clip(xl0, 0, _LANE - 1)
+            xg1 = jnp.clip(xl1, 0, _LANE - 1)
+            wxa = wx0 * val0
+            wxb = wx1 * val1
+            for j in range(_SUB):
+                row_local = row_base + j
+                wy_match = (jnp.where(y0i == row_local, wy0, 0.0)
+                            + jnp.where(y0i + 1 == row_local, wy1, 0.0))
+                new_acc = []
+                for c in range(n_ch):
+                    brow = jnp.broadcast_to(
+                        src_ref[0, s, c, j:j + 1, :], (_SUB, _LANE))
+                    g0 = jnp.take_along_axis(brow, xg0, axis=1)
+                    g1 = jnp.take_along_axis(brow, xg1, axis=1)
+                    new_acc.append(acc[c] + wy_match * (wxa * g0 + wxb * g1))
+                acc = tuple(new_acc)
+            return acc
+
+        return jax.lax.cond(hit, compute, lambda a: a, acc)
 
     acc = jax.lax.fori_loop(
         0, yb * t, step,
@@ -126,9 +141,38 @@ def flow_warp_pallas_window(img: jax.Array, flow: jax.Array,
 
     Use ``flow_warp_fast`` for the exact-cond-fallback wrapper.
     """
-    b, h, w, c = img.shape
+    img_chw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+    flow_t = jnp.transpose(flow.astype(jnp.float32), (0, 3, 1, 2))
+    out = _window_warp_chw(img_chw, flow_t, r_y, r_x)
+    h, w = img.shape[1:3]
+    return jnp.transpose(out, (0, 2, 3, 1))[:, :h, :w]
+
+
+def flow_warp_pallas_window_planar(planes, flow_u, flow_v,
+                                   r_y: int = 20, r_x: int = 120):
+    """Planar-boundary windowed warp: tuple of (B, H, W) image planes +
+    (B, H, W) flow components in, tuple of (B, H, W) fp32 planes out.
+
+    Same kernel as ``flow_warp_pallas_window`` but without NHWC
+    boundaries: inside large graphs XLA:TPU lays (B, H, W, 2) tensors out
+    with C=2 on the 128-lane axis (64x padded), so callers composing
+    full-resolution stages (the SGU final fallback) stay planar
+    throughout and only stack at the very end.
+    """
+    h, w = planes[0].shape[1:3]
+    img_chw = jnp.stack([p.astype(jnp.float32) for p in planes], axis=1)
+    flow_t = jnp.stack([flow_u.astype(jnp.float32),
+                        flow_v.astype(jnp.float32)], axis=1)
+    out = _window_warp_chw(img_chw, flow_t, r_y, r_x)
+    return tuple(out[:, c, :h, :w] for c in range(len(planes)))
+
+
+def _window_warp_chw(img_chw: jax.Array, flow_chw: jax.Array,
+                     r_y: int, r_x: int) -> jax.Array:
+    """Core windowed warp on (B, C, H, W) fp32; returns (B, C, Hp, Wp)."""
+    b, c, h, w = img_chw.shape
     assert c <= 4, "kernel is specialized for small channel counts"
-    assert r_x <= _LANE - 2 and r_y <= 24 - 2
+    assert r_x <= _LANE - 2 and r_y <= 46, (r_y, r_x)
     off_y = _SUB * (-(-(r_y + 1) // _SUB))  # ceil to multiple of 8
     yb = -(-(_SUB + r_y + 2 + off_y) // _SUB)
     t = 3
@@ -137,9 +181,7 @@ def flow_warp_pallas_window(img: jax.Array, flow: jax.Array,
     wp = -(-w // _LANE) * _LANE
     pad_h = hp - h
     pad_w = wp - w
-    flow_t = jnp.transpose(flow.astype(jnp.float32), (0, 3, 1, 2))
-    flow_t = jnp.pad(flow_t, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
-    img_chw = jnp.transpose(img.astype(jnp.float32), (0, 3, 1, 2))
+    flow_t = jnp.pad(flow_chw, ((0, 0), (0, 0), (0, pad_h), (0, pad_w)))
     src = _build_shifted_blocks(img_chw, yb, t, off_y, hp, wp)
 
     grid = (b, hp // _SUB, wp // _LANE)
@@ -163,7 +205,7 @@ def flow_warp_pallas_window(img: jax.Array, flow: jax.Array,
             bytes_accessed=4 * b * hp * wp * c * (yb * t + 2),
             transcendentals=0),
     )(flow_t, src)
-    return jnp.transpose(out, (0, 2, 3, 1))[:, :h, :w]
+    return out
 
 
 def flow_warp_fast(img: jax.Array, flow: jax.Array,

@@ -424,7 +424,15 @@ def _sgu_blend_tpu(flow_init: jax.Array, inter_flow: jax.Array,
     return _sgu_blend_tpu_impl(flow_init, inter_flow, inter_mask)
 
 
+_BLEND_MED_RY = 20   # medium-tier blend warp window (px at the level's
+_BLEND_MED_RX = 120  # resolution); trained ckpts exceed the +-2 px tier
+
+
 def _sgu_blend_tpu_impl(flow_init, inter_flow, inter_mask):
+    """Three-tier dispatch on max|inter_flow| (all planar boundaries):
+    +-2 px -> fused Pallas blend kernel; within the windowed-warp reach
+    -> Pallas window warp + planar blend; beyond -> exact XLA gather."""
+    h, w = flow_init.shape[1:3]
     u = flow_init[..., 0].astype(jnp.float32)
     v = flow_init[..., 1].astype(jnp.float32)
     iu = inter_flow[..., 0].astype(jnp.float32)
@@ -435,6 +443,18 @@ def _sgu_blend_tpu_impl(flow_init, inter_flow, inter_mask):
         from upflow_pytorch_tpu.ops.pallas.blend import sgu_blend_pallas
         return sgu_blend_pallas(*ops)
 
+    def med(ops):
+        from upflow_pytorch_tpu.ops.pallas.warp import (
+            flow_warp_pallas_window_planar)
+        u_, v_, iu_, iv_, m_ = ops
+        xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        eff_u = _torch_grid_roundtrip(xs + iu_, w) - xs
+        eff_v = _torch_grid_roundtrip(ys + iv_, h) - ys
+        wu, wv = flow_warp_pallas_window_planar(
+            (u_, v_), eff_u, eff_v, r_y=_BLEND_MED_RY, r_x=_BLEND_MED_RX)
+        return (wu * (1 - m_) + u_ * m_, wv * (1 - m_) + v_ * m_)
+
     def slow(ops):
         u_, v_, iu_, iv_, m_ = ops
         px, py = _abs_coords_torch_grid(jnp.stack([iu_, iv_], axis=-1))
@@ -442,8 +462,13 @@ def _sgu_blend_tpu_impl(flow_init, inter_flow, inter_mask):
         return (wpd[..., 0] * (1 - m_) + u_ * m_,
                 wpd[..., 1] * (1 - m_) + v_ * m_)
 
-    ou, ov = jax.lax.cond(_small_flow_pred(inter_flow), fast, slow,
-                          (u, v, iu, iv, m))
+    fmax = jnp.max(jnp.abs(inter_flow.astype(jnp.float32)), axis=(0, 1, 2))
+    pred_med = ((fmax[0] <= jnp.float32(_BLEND_MED_RX - 1))
+                & (fmax[1] <= jnp.float32(_BLEND_MED_RY - 1)))
+    ou, ov = jax.lax.cond(
+        _small_flow_pred(inter_flow), fast,
+        lambda ops: jax.lax.cond(pred_med, med, slow, ops),
+        (u, v, iu, iv, m))
     return jnp.stack([ou, ov], axis=-1).astype(flow_init.dtype)
 
 
