@@ -25,7 +25,7 @@ import time
 args = {}
 for a in sys.argv[1:]:
     k, _, v = a.partition("=")
-    if k in ("iters", "runs", "batch", "h", "w", "stages"):
+    if k in ("iters", "runs", "batch", "h", "w", "stages", "ckpt", "synth"):
         args[k] = v
     else:
         os.environ[k] = v
@@ -106,22 +106,64 @@ def main():
     device = jax.devices()[0]
     with jax.default_device(jax.devices("cpu")[0]):
         params = init_params(conf, jax.random.PRNGKey(0))
+    if args.get("ckpt"):
+        from upflow_pytorch_tpu.checkpoint.npz_io import load_params_npz
+        params = load_params_npz(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "assets",
+                "synthetic_trained.npz"), params)
     params = jax.device_put(params, device)
     rng = np.random.RandomState(7)
 
     def put(a, dt=jnp.bfloat16):
         return jax.device_put(jnp.asarray(a, dt), device)
 
-    im1 = put(rng.rand(B, H, W, 3), jnp.float32)
-    im2 = put(rng.rand(B, H, W, 3), jnp.float32)
+    if args.get("synth"):
+        from upflow_pytorch_tpu.data.synthetic import make_dataset
+        data = make_dataset(B, seed=7, raw_hw=(H, W), crop_hw=(H, W))
+        im1 = put(data["im1"], jnp.float32)
+        im2 = put(data["im2"], jnp.float32)
+    else:
+        im1 = put(rng.rand(B, H, W, 3), jnp.float32)
+        im2 = put(rng.rand(B, H, W, 3), jnp.float32)
 
     # pyramid shapes, coarsest-first, matching FeatureExtractor
     chs = conf.num_chs[1:][::-1]            # (196,128,96,64,32,16)
     hws = [(H >> k, W >> k) for k in range(6, 0, -1)]  # 1/64 .. 1/2
-    feats1 = [put(rng.randn(B, h, w, c) * 0.5)
-              for (h, w), c in zip(hws, chs)]
-    feats2 = [put(rng.randn(B, h, w, c) * 0.5)
-              for (h, w), c in zip(hws, chs)]
+    if args.get("ckpt") or args.get("synth"):
+        # REAL intermediates: run the pyramid + levels once so every
+        # stage is timed with the tensors (and runtime lax.cond branch
+        # choices) the actual forward sees — random features/flows land
+        # in different warp tiers than trained weights do
+        @jax.jit
+        def _reals(params, a, b):
+            def run(m, a, b):
+                p1 = m.feature_pyramid_extractor(a.astype(m._dtype))
+                p2 = m.feature_pyramid_extractor(b.astype(m._dtype))
+                bsz, h0, w0 = a.shape[0], *p1[0].shape[1:3]
+                f1 = jnp.zeros((bsz, h0, w0, 2), jnp.float32)
+                f2 = jnp.zeros((bsz, h0, w0, 2), jnp.float32)
+                flows = []
+                for lv, (x1, x2) in enumerate(zip(p1, p2)):
+                    flows.append((f1, f2))
+                    x1_1 = m.conv_1x1[lv](x1)
+                    x2_1 = m.conv_1x1[lv](x2)
+                    fu1, fu2, r1, r2 = m._decode_level(
+                        lv, f1, f2, x1, x1_1, x2, x2_1)
+                    f1, f2 = fu1 + r1, fu2 + r2
+                return p1, p2, flows, (f1, f2)
+            return model.apply(params, a, b, method=run)
+
+        p1s, p2s, level_flows, final_flows = _reals(params, im1, im2)
+        feats1 = [jax.device_put(t, device) for t in p1s]
+        feats2 = [jax.device_put(t, device) for t in p2s]
+    else:
+        level_flows = None
+        final_flows = None
+        feats1 = [put(rng.randn(B, h, w, c) * 0.5)
+                  for (h, w), c in zip(hws, chs)]
+        feats2 = [put(rng.randn(B, h, w, c) * 0.5)
+                  for (h, w), c in zip(hws, chs)]
 
     want = args.get("stages", "").split(",") if args.get("stages") else None
     results = {}
@@ -148,8 +190,12 @@ def main():
     def mk_decode(level):
         h, w = hws[level]
         ph, pw = hws[level - 1] if level > 0 else hws[0]
-        f1 = put(rng.randn(B, ph, pw, 2) * 1.0, jnp.float32)
-        f2 = put(rng.randn(B, ph, pw, 2) * 1.0, jnp.float32)
+        if level_flows is not None:
+            f1 = jax.device_put(level_flows[level][0], device)
+            f2 = jax.device_put(level_flows[level][1], device)
+        else:
+            f1 = put(rng.randn(B, ph, pw, 2) * 1.0, jnp.float32)
+            f2 = put(rng.randn(B, ph, pw, 2) * 1.0, jnp.float32)
 
         def dec(x1, x2, f1, f2):
             def run(m, x1, x2, f1, f2):
@@ -168,8 +214,12 @@ def main():
 
     # ---- final SGU (full-res upsample) -----------------------------------
     h4, w4 = hws[4]
-    flow4 = put(rng.randn(B, h4, w4, 2) * 1.0, jnp.float32)
-    flow4b = put(rng.randn(B, h4, w4, 2) * 1.0, jnp.float32)
+    if final_flows is not None:
+        flow4 = jax.device_put(final_flows[0], device)
+        flow4b = jax.device_put(final_flows[1], device)
+    else:
+        flow4 = put(rng.randn(B, h4, w4, 2) * 1.0, jnp.float32)
+        flow4b = put(rng.randn(B, h4, w4, 2) * 1.0, jnp.float32)
 
     def sgu_final(a, b, ff, fb):
         def run(m, a, b, ff, fb):

@@ -27,6 +27,7 @@ census, and multi-scale pyramid distillation, with analytic occlusion masks.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Tuple
 
 import flax.linen as nn
@@ -137,15 +138,29 @@ def _sgu_final_planar(output_hw, ops):
                       oh, ow).astype(xdt)
     # flow_warp == torch grid_sample(zeros pad): fold the torch-grid
     # coordinate roundtrip into an effective flow (flow_warp_fast's move),
-    # computed planar (no full-res NHWC stacks)
+    # computed planar (no full-res NHWC stacks).  UPFLOW_SGU_MED=gather
+    # swaps the windowed Pallas warp for the XLA gather on the planar
+    # composition — near-equal runtime standalone (12.1 vs 11.0 ms) with
+    # a far cheaper compile (no Mosaic kernel; the planar layouts are
+    # what kill the in-graph 41 ms, not the gather itself).
     from upflow_pytorch_tpu.ops.warp import _torch_grid_roundtrip
 
     xs = jnp.arange(ow, dtype=jnp.float32)[None, None, :]
     ys = jnp.arange(oh, dtype=jnp.float32)[None, :, None]
-    eff_u = _torch_grid_roundtrip(xs + iu.astype(jnp.float32), ow) - xs
-    eff_v = _torch_grid_roundtrip(ys + iv.astype(jnp.float32), oh) - ys
-    wu, wv = flow_warp_pallas_window_planar(
-        (u, v), eff_u, eff_v, r_y=_SGU_MED_RY, r_x=_SGU_MED_RX)
+    if os.environ.get("UPFLOW_SGU_MED", "warp") == "gather":
+        from upflow_pytorch_tpu.ops.warp import _bilinear_zero_pad
+        px = _torch_grid_roundtrip(xs + iu.astype(jnp.float32), ow)
+        py = _torch_grid_roundtrip(ys + iv.astype(jnp.float32), oh)
+        px = jnp.broadcast_to(px, u.shape)
+        py = jnp.broadcast_to(py, u.shape)
+        wpd, _ = _bilinear_zero_pad(
+            jnp.stack([u, v], axis=-1).astype(jnp.float32), px, py)
+        wu, wv = wpd[..., 0], wpd[..., 1]
+    else:
+        eff_u = _torch_grid_roundtrip(xs + iu.astype(jnp.float32), ow) - xs
+        eff_v = _torch_grid_roundtrip(ys + iv.astype(jnp.float32), oh) - ys
+        wu, wv = flow_warp_pallas_window_planar(
+            (u, v), eff_u, eff_v, r_y=_SGU_MED_RY, r_x=_SGU_MED_RX)
     wu = wu.astype(dt)
     wv = wv.astype(dt)
     one = jnp.float32(1.0)
@@ -281,9 +296,9 @@ class UPFlowNet(nn.Module):
 
         from upflow_pytorch_tpu.ops.warp import _pallas_warp_enabled
 
-        # UPFLOW_SGU_FINAL=xla|pallas overrides the dispatch (A/B knob;
-        # round-4 profiling measured the XLA composition FASTER than the
-        # fused kernel at KITTI shapes — see docs/STATUS_ROUND4.md)
+        # UPFLOW_SGU_FINAL=xla forces the plain-XLA composition (A/B
+        # knob; the tiered op measured 97.9 ms vs 179.2 ms whole-forward
+        # at KITTI shapes — docs/STATUS_ROUND4.md)
         mode = os.environ.get("UPFLOW_SGU_FINAL", "")
         if mode == "xla" or not _pallas_warp_enabled(flow_q):
             return _sgu_final_xla((oh, ow), (flow_q, x_out))
