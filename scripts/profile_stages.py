@@ -144,7 +144,8 @@ def main():
                 f1 = jnp.zeros((bsz, h0, w0, 2), jnp.float32)
                 f2 = jnp.zeros((bsz, h0, w0, 2), jnp.float32)
                 flows = []
-                for lv, (x1, x2) in enumerate(zip(p1, p2)):
+                for lv in range(len(m.conv_1x1)):   # levels 0..output_level
+                    x1, x2 = p1[lv], p2[lv]
                     flows.append((f1, f2))
                     x1_1 = m.conv_1x1[lv](x1)
                     x2_1 = m.conv_1x1[lv](x2)

@@ -115,6 +115,140 @@ def _warp_kernel(flow_ref, src_ref, out_ref, *, n_ch: int, yb: int, t: int,
         out_ref[0, c] = acc[c]
 
 
+def _warp_kernel_resident(fu_ref, fv_ref, *rest, n_ch: int, yb: int, t: int,
+                          off_y: int):
+    """Resident-plane variant of ``_warp_kernel``: the whole zero-padded
+    source planes live in VMEM (index map constant per batch element, so
+    they are DMA'd once per batch item instead of YB*T shifted copies
+    re-DMA'd per tile — the shifted-blocks kernel measured ~10 ms at
+    (4, 384, 1280) with the per-tile DMA as the floor).  Candidate
+    (8, 128) slabs are sliced directly from the resident plane with
+    dynamic 8/128-aligned starts (both probed green on Mosaic), and
+    blocks whose rows/cols intersect no pixel's bilinear support are
+    skipped with ``pl.when`` + scratch accumulation (true branch skip).
+    """
+    plane_refs = rest[:n_ch]
+    out_refs = rest[n_ch:2 * n_ch]
+    acc_ref = rest[2 * n_ch]
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+
+    u = fu_ref[0]
+    v = fv_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1
+                                    ).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0
+                                   ).astype(jnp.float32)
+    px = lane + u
+    py = sub + v
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx1 = px - x0
+    wx0 = (x0 + 1.0) - px
+    wy1 = py - y0
+    wy0 = (y0 + 1.0) - py
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    y0_min = jnp.min(y0i)
+    y0_max = jnp.max(y0i)
+    x0_min = jnp.min(x0i)
+    x0_max = jnp.max(x0i)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(s, carry):
+        b_y = s // t
+        b_t = s - b_y * t
+        row_base = b_y * _SUB - off_y          # local row of slab row 0
+        col_base = (b_t - 1) * _LANE
+        hit = ((y0_max + 1 >= row_base) & (y0_min <= row_base + _SUB - 1)
+               & (x0_max + 1 >= col_base) & (x0_min <= col_base + _LANE - 1))
+
+        @pl.when(hit)
+        def _():
+            # padded-plane coords: local row r maps to padded row
+            # ti*8 + r + off_y, local col c to padded col tj*128 + c + 128
+            rs = pl.multiple_of(ti * _SUB + b_y * _SUB, _SUB)
+            cs = pl.multiple_of(tj * _LANE + b_t * _LANE, _LANE)
+            xl0 = x0i - col_base
+            xl1 = xl0 + 1
+            val0 = ((xl0 >= 0) & (xl0 < _LANE)).astype(jnp.float32)
+            val1 = ((xl1 >= 0) & (xl1 < _LANE)).astype(jnp.float32)
+            xg0 = jnp.clip(xl0, 0, _LANE - 1)
+            xg1 = jnp.clip(xl1, 0, _LANE - 1)
+            wxa = wx0 * val0
+            wxb = wx1 * val1
+            for c in range(n_ch):
+                slab = plane_refs[c][0, pl.ds(rs, _SUB), pl.ds(cs, _LANE)]
+                upd = jnp.zeros((_SUB, _LANE), jnp.float32)
+                for j in range(_SUB):
+                    row_local = row_base + j
+                    wy_match = (jnp.where(y0i == row_local, wy0, 0.0)
+                                + jnp.where(y0i + 1 == row_local, wy1, 0.0))
+                    brow = jnp.broadcast_to(slab[j:j + 1, :], (_SUB, _LANE))
+                    g0 = jnp.take_along_axis(brow, xg0, axis=1)
+                    g1 = jnp.take_along_axis(brow, xg1, axis=1)
+                    upd = upd + wy_match * (wxa * g0 + wxb * g1)
+                acc_ref[c] += upd
+        return carry
+
+    jax.lax.fori_loop(0, yb * t, body, 0)
+    for c in range(n_ch):
+        out_refs[c][0] = acc_ref[c]
+
+
+def _window_warp_resident(planes, flow_u, flow_v, r_y: int, r_x: int):
+    """Planar windowed warp on resident VMEM planes.
+
+    planes: tuple of (B, H, W); flow_u/flow_v: (B, H, W).
+    Returns tuple of (B, H, W) fp32.  REQUIRES |u| <= r_x, |v| <= r_y.
+    """
+    n_ch = len(planes)
+    b, h, w = planes[0].shape
+    assert r_x <= _LANE - 2 and r_y <= 46, (r_y, r_x)
+    off_y = _SUB * (-(-(r_y + 1) // _SUB))
+    yb = -(-(_SUB + r_y + 2 + off_y) // _SUB)
+    t = 3
+
+    hp = -(-h // _SUB) * _SUB
+    wp = -(-w // _LANE) * _LANE
+    fu = jnp.pad(flow_u.astype(jnp.float32),
+                 ((0, 0), (0, hp - h), (0, wp - w)))
+    fv = jnp.pad(flow_v.astype(jnp.float32),
+                 ((0, 0), (0, hp - h), (0, wp - w)))
+    top = off_y
+    bottom = yb * _SUB - off_y + hp - h
+    left = _LANE
+    right = (t - 1) * _LANE + wp - w
+    padded = [jnp.pad(p.astype(jnp.float32),
+                      ((0, 0), (top, bottom), (left, right)))
+              for p in planes]
+    hpad = h + top + bottom
+    wpad = w + left + right
+
+    grid = (b, hp // _SUB, wp // _LANE)
+    tile = pl.BlockSpec((1, _SUB, _LANE), lambda bi, i, g: (bi, i, g),
+                        memory_space=pltpu.VMEM)
+    whole = pl.BlockSpec((1, hpad, wpad), lambda bi, i, g: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_warp_kernel_resident, n_ch=n_ch, yb=yb, t=t,
+                          off_y=off_y),
+        grid=grid,
+        in_specs=[tile, tile] + [whole] * n_ch,
+        out_specs=[tile] * n_ch,
+        out_shape=[jax.ShapeDtypeStruct((b, hp, wp), jnp.float32)] * n_ch,
+        scratch_shapes=[pltpu.VMEM((n_ch, _SUB, _LANE), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * hp * wp * n_ch,
+            bytes_accessed=4 * b * (hpad * wpad * n_ch + 4 * hp * wp),
+            transcendentals=0),
+    )(fu, fv, *padded)
+    if n_ch == 1:
+        outs = [outs] if not isinstance(outs, (list, tuple)) else outs
+    return tuple(o[:, :h, :w] for o in outs)
+
+
 def _build_shifted_blocks(img_chw: jax.Array, yb: int, t: int, off_y: int,
                           hp: int, wp: int) -> jax.Array:
     """(B, C, H, W) -> (B, YB*T, C, Hp, Wp) statically shifted zero-padded
@@ -153,18 +287,38 @@ def flow_warp_pallas_window_planar(planes, flow_u, flow_v,
     """Planar-boundary windowed warp: tuple of (B, H, W) image planes +
     (B, H, W) flow components in, tuple of (B, H, W) fp32 planes out.
 
-    Same kernel as ``flow_warp_pallas_window`` but without NHWC
-    boundaries: inside large graphs XLA:TPU lays (B, H, W, 2) tensors out
-    with C=2 on the 128-lane axis (64x padded), so callers composing
-    full-resolution stages (the SGU final fallback) stay planar
+    Planar because XLA:TPU lays (B, H, W, 2) tensors out with C=2 on the
+    128-lane axis (64x padded) inside large graphs, so callers composing
+    full-resolution stages (the SGU final medium tier) stay planar
     throughout and only stack at the very end.
+
+    Two cores, selected by UPFLOW_WINDOW_WARP (default ``resident``):
+
+    - ``resident``: whole zero-padded planes live in VMEM (DMA'd once per
+      batch element); candidate (8, 128) slabs are sliced with aligned
+      dynamic starts and pruned per-tile against the tile's actual
+      bilinear support (min/max of the tap coords), so smooth flows skip
+      most of the yb*t candidate blocks' compute.
+    - ``blocks``: the round-4.0 shifted-blocks core (XLA materialises
+      yb*t statically shifted padded copies; per-tile tap-range skipping
+      of compute only — every block is still DMA'd).
+
+    On-chip at (4, 384, 1280), r_y=40/r_x=120, chained-loop timed
+    (bench.py methodology — block_until_ready is NOT a sync on the
+    axon relay): adversarial uniform flows resident 13.6 ms vs blocks
+    14.4 ms per 2-plane warp; the gap comes from smooth flows (the real
+    SGU regime) where the support-pruning collapses the candidate set.
     """
-    h, w = planes[0].shape[1:3]
-    img_chw = jnp.stack([p.astype(jnp.float32) for p in planes], axis=1)
-    flow_t = jnp.stack([flow_u.astype(jnp.float32),
-                        flow_v.astype(jnp.float32)], axis=1)
-    out = _window_warp_chw(img_chw, flow_t, r_y, r_x)
-    return tuple(out[:, c, :h, :w] for c in range(len(planes)))
+    import os
+
+    if os.environ.get("UPFLOW_WINDOW_WARP", "resident") == "blocks":
+        h, w = planes[0].shape[1:3]
+        img_chw = jnp.stack([p.astype(jnp.float32) for p in planes], axis=1)
+        flow_t = jnp.stack([flow_u.astype(jnp.float32),
+                            flow_v.astype(jnp.float32)], axis=1)
+        out = _window_warp_chw(img_chw, flow_t, r_y, r_x)
+        return tuple(out[:, c, :h, :w] for c in range(len(planes)))
+    return _window_warp_resident(planes, flow_u, flow_v, r_y, r_x)
 
 
 def _window_warp_chw(img_chw: jax.Array, flow_chw: jax.Array,
