@@ -70,13 +70,11 @@ def test_fast_path_predicate_and_fallback():
     exact-XLA branch then matches the oracle bit-for-bit."""
     img = RNG.randn(1, 32, 128, 32).astype(np.float32)
     smooth = np.full((1, 32, 128, 2), 3.25, np.float32)
-    _, _, _, _, _, fits, _ = feature_warp_prep(
-        jnp.asarray(img), jnp.asarray(smooth))
+    fits = feature_warp_prep(jnp.asarray(img), jnp.asarray(smooth))[5]
     assert bool(fits)
     jumpy = smooth.copy()
     jumpy[0, :, 64:, 1] = 60.0  # 57-row span inside single tiles
-    _, _, _, _, _, fits2, _ = feature_warp_prep(
-        jnp.asarray(img), jnp.asarray(jumpy))
+    fits2 = feature_warp_prep(jnp.asarray(img), jnp.asarray(jumpy))[5]
     assert not bool(fits2)
     with pltpu.force_tpu_interpret_mode():
         out = feature_warp_masked_fast(jnp.asarray(img), jnp.asarray(jumpy),
@@ -146,3 +144,31 @@ def test_gradients_route_through_oracle():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_both_axes_sinusoid_mask_bits_shared():
+    """Regression for the round-4 on-chip defect: with a flow varying
+    fractionally along BOTH axes, the chaotic ``wsum >= 1.0`` mask bits
+    must be IDENTICAL between the fast kernel and the slow branch.  Both
+    now threshold the single XLA-computed wsum from feature_warp_prep;
+    recomputing wsum in-kernel flipped ~1% of interior bits on the chip
+    (invisible here in interpret mode at the old tolerances, visible as
+    exact-zero disagreements)."""
+    from upflow_pytorch_tpu.ops.pallas.feature_warp import (
+        _feature_warp_fwd_impl)
+
+    h, w = 96, 320
+    img = RNG.randn(2, h, w, 32).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    u = 3.0 * np.sin(2 * np.pi * xx / w)
+    v = 3.0 * np.cos(2 * np.pi * yy / h)
+    flow = jnp.asarray(np.broadcast_to(
+        np.stack([u, v], -1)[None].astype(np.float32), (2, h, w, 2)))
+    _assert_fits(img, flow)
+    with pltpu.force_tpu_interpret_mode():
+        fast = np.asarray(_feature_warp_fwd_impl(
+            jnp.asarray(img), flow, 1.0, force="fast"))
+    slow = np.asarray(_feature_warp_fwd_impl(
+        jnp.asarray(img), flow, 1.0, force="slow"))
+    np.testing.assert_array_equal(fast == 0.0, slow == 0.0)
+    np.testing.assert_allclose(fast, slow, rtol=2e-5, atol=2e-5)

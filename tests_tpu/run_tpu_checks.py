@@ -148,31 +148,67 @@ def check_correlation():
     return f"rel err {err:.5f}"
 
 
+def _smooth_inwindow_flow(b, h, w, xscale=6.0, yscale=1.5, seed=2):
+    """Coarse random field bilinearly upsampled — the real regime (flows
+    are 2x-upsampled from a coarser pyramid level), and IN-CONTRACT for
+    the banded warp kernels: per-(row, lane-tile) y0 spans stay inside
+    the candidate window.  The round-4 lane used i.i.d. randn flows here,
+    which violate the kernels' documented window predicate (fits=False)
+    and failed even with correct kernels (VERDICT r4 weak #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    coarse = rng.rand(b, 6, 10, 2).astype(np.float32) - 0.5
+    coarse[..., 0] *= xscale
+    coarse[..., 1] *= yscale
+    return jax.image.resize(jnp.asarray(coarse), (b, h, w, 2), "linear")
+
+
 @check("feature_warp_bench_shape")
 def check_feature_warp():
     import jax
     import jax.numpy as jnp
     from upflow_pytorch_tpu.ops.pallas.feature_warp import (
-        _feature_warp_fwd_impl)
-    from upflow_pytorch_tpu.ops.warp import MASK_THRESHOLD, flow_warp_with_mask
+        _feature_warp_fwd_impl, feature_warp_prep)
+    from upflow_pytorch_tpu.ops.warp import MASK_THRESHOLD
 
     rng = np.random.RandomState(2)
+    worst = 0.0
     for (h, w, c) in [(96, 320, 32), (48, 160, 64)]:
         x = jnp.asarray(rng.randn(4, h, w, c), jnp.float32)
-        flow = jnp.asarray(rng.randn(4, h, w, 2) * 1.5, jnp.float32)
+        flow = _smooth_inwindow_flow(4, h, w, seed=h)
+        assert bool(feature_warp_prep(x, flow)[5]), "contract violated"
         out = jax.jit(lambda x, f: _feature_warp_fwd_impl(
             x, f, MASK_THRESHOLD, force="fast"))(x, flow)
-        ref = jax.jit(lambda x, f: flow_warp_with_mask(x, f)[0])(x, flow)
+        ref = jax.jit(lambda x, f: _feature_warp_fwd_impl(
+            x, f, MASK_THRESHOLD, force="slow"))(x, flow)
         err = _rel_err(out, ref)
+        nflip = int(jnp.sum((out == 0) != (ref == 0)))
         assert err < 1e-3, (h, w, c, err)
-    return "2 shapes OK"
+        assert nflip == 0, (h, w, c, nflip)  # shared-wsum mask bits
+        worst = max(worst, err)
+    # out-of-contract: i.i.d. flow must fail the predicate, and the
+    # lax.cond dispatch must land on (and match) the exact XLA branch
+    x = jnp.asarray(rng.randn(2, 96, 320, 32), jnp.float32)
+    flow = jnp.asarray(rng.randn(2, 96, 320, 2) * 20.0, jnp.float32)
+    assert not bool(feature_warp_prep(x, flow)[5])
+    out = jax.jit(lambda x, f: _feature_warp_fwd_impl(
+        x, f, MASK_THRESHOLD))(x, flow)
+    ref = jax.jit(lambda x, f: _feature_warp_fwd_impl(
+        x, f, MASK_THRESHOLD, force="slow"))(x, flow)
+    fb_err = float(jnp.max(jnp.abs(out - ref)))
+    assert fb_err <= 1e-6, fb_err
+    return f"2 shapes rel err <= {worst:.2e}, 0 mask flips, fallback exact"
 
 
 @check("warp_norm_corr_fused")
 def check_warp_norm_corr():
     import jax
-    from upflow_pytorch_tpu.ops.pallas.corr_norm import warp_norm_corr
     import jax.numpy as jnp
+    from upflow_pytorch_tpu.ops.pallas.corr_norm import warp_norm_corr
+    from upflow_pytorch_tpu.ops.pallas.feature_warp import feature_warp_prep
+    from upflow_pytorch_tpu.ops.warp import MASK_THRESHOLD
 
     rng = np.random.RandomState(3)
     norm_items = (("normalize", True), ("center", True),
@@ -180,14 +216,25 @@ def check_warp_norm_corr():
                   ("moments_across_images", False))
     f1 = jnp.asarray(rng.randn(4, 96, 320, 32), jnp.float32)
     f2 = jnp.asarray(rng.randn(4, 96, 320, 32), jnp.float32)
-    flow = jnp.asarray(rng.randn(4, 96, 320, 2) * 1.5, jnp.float32)
+    flow = _smooth_inwindow_flow(4, 96, 320, seed=3)
+    assert bool(feature_warp_prep(f2, flow)[5]), "contract violated"
     fast = jax.jit(lambda a, b, f: warp_norm_corr(
-        a, b, f, 4, norm_items, 0.1, 0.9999, "fast"))(f1, f2, flow)
+        a, b, f, 4, norm_items, 0.1, MASK_THRESHOLD, "fast"))(f1, f2, flow)
     slow = jax.jit(lambda a, b, f: warp_norm_corr(
-        a, b, f, 4, norm_items, 0.1, 0.9999, "slow"))(f1, f2, flow)
+        a, b, f, 4, norm_items, 0.1, MASK_THRESHOLD, "slow"))(f1, f2, flow)
     err = _rel_err(fast, slow)
-    assert err < 5e-3, err
-    return f"rel err {err:.5f}"
+    assert err < 1e-3, err
+    # out-of-contract: predicate fails -> cond lands on the exact branch
+    flow_bad = jnp.asarray(rng.randn(4, 96, 320, 2) * 20.0, jnp.float32)
+    assert not bool(feature_warp_prep(f2, flow_bad)[5])
+    out = jax.jit(lambda a, b, f: warp_norm_corr(
+        a, b, f, 4, norm_items, 0.1, MASK_THRESHOLD))(f1, f2, flow_bad)
+    ref = jax.jit(lambda a, b, f: warp_norm_corr(
+        a, b, f, 4, norm_items, 0.1, MASK_THRESHOLD, "slow"))(
+            f1, f2, flow_bad)
+    fb_err = float(jnp.max(jnp.abs(out - ref)))
+    assert fb_err <= 1e-6, fb_err
+    return f"rel err {err:.2e}, fallback exact"
 
 
 @check("flow_warp_small_channel")

@@ -298,8 +298,12 @@ class UPFlowNet(nn.Module):
 
         # UPFLOW_SGU_FINAL=xla forces the plain-XLA composition (A/B
         # knob; the tiered op measured 97.9 ms vs 179.2 ms whole-forward
-        # at KITTI shapes — docs/STATUS_ROUND4.md)
+        # at KITTI shapes — docs/STATUS_ROUND4.md).  UPFLOW_SGU_TIER=xla
+        # pins the exact tier for this stage AND sgu_blend (bench.py's
+        # forced-fallback timing on real weights).
         mode = os.environ.get("UPFLOW_SGU_FINAL", "")
+        if os.environ.get("UPFLOW_SGU_TIER") == "xla":
+            mode = "xla"
         if mode == "xla" or not _pallas_warp_enabled(flow_q):
             return _sgu_final_xla((oh, ow), (flow_q, x_out))
         return _sgu_final_op((oh, ow), flow_q, x_out)
@@ -333,7 +337,7 @@ class UPFlowNet(nn.Module):
             # copies never reach HBM (reference hot loop upflow.py:546-564)
             norm_items = (norm_items_from_conf(c)
                           if c.if_norm_before_cost_volume else None)
-            thr = warp_mod.MASK_THRESHOLD
+            thr = warp_mod.mask_threshold()
             corr_1 = warp_norm_corr(feature_1, feature_2, flow_1_up,
                                     c.search_range, norm_items, 0.1,
                                     thr).astype(self._dtype)

@@ -268,10 +268,10 @@ def _wnc_fast(ops, h, w, hp, disp, norm_kw, leaky_slope, mask_thr):
     """The fused-kernel branch (module-level so tests and the bench can
     exercise it without ``lax.cond`` — interpret-mode emulation of the
     manual-DMA warp kernel is not cond-safe)."""
-    f_tgt_, px_, py_, ro_, rb_, co_, f_src_, _flow = ops
+    f_tgt_, px_, py_, ws_, ro_, rb_, co_, f_src_, _flow = ops
     b, c = f_src_.shape[0], f_src_.shape[3]
     wr = feature_warp_window_pallas(
-        feature_warp_stage(f_src_), px_, py_, ro_, rb_, co_, (h, w),
+        feature_warp_stage(f_src_), px_, py_, ws_, ro_, rb_, co_, (h, w),
         mask_thr=mask_thr, out_dtype=f_src_.dtype)   # (B, Hp, C, Wp)
     # rows-major -> planar: W stays minor, a row-moving permute only
     wpl = jnp.transpose(wr, (0, 2, 1, 3))[:, :, :, :w]  # (B, C, Hp, w)
@@ -298,7 +298,7 @@ def _wnc_fwd_impl(f_tgt, f_src, flow, disp, norm_items, leaky_slope,
                   mask_thr, force=None):
     norm_kw = dict(norm_items) if norm_items is not None else None
     b, h, w, c = f_src.shape
-    px_p, py_p, roff, rowbase, coff, fits, (hp, wp) = \
+    px_p, py_p, roff, rowbase, coff, fits, (hp, wp), ws_p = \
         feature_warp_prep(f_src, flow)
 
     fast = functools.partial(_wnc_fast, h=h, w=w, hp=hp, disp=disp,
@@ -306,11 +306,27 @@ def _wnc_fwd_impl(f_tgt, f_src, flow, disp, norm_items, leaky_slope,
                              mask_thr=mask_thr)
 
     def slow(ops):
-        f_tgt_, _px, _py, _ro, _rb, _co, f_src_, flow_ = ops
-        return warp_norm_corr_xla(f_tgt_, f_src_, flow_, disp, norm_kw,
-                                  leaky_slope).astype(jnp.float32)
+        # exact XLA composition, sharing px/py/wsum with the fast branch
+        # so mask decisions under the chaotic >= 1.0 threshold are
+        # bitwise-identical across the cond (see _warp_kernel's ws note)
+        from upflow_pytorch_tpu.ops.correlation import correlation_xla
+        from upflow_pytorch_tpu.ops.normalize import normalize_features
+        from upflow_pytorch_tpu.ops.warp import _bilinear_zero_pad
 
-    ops = (f_tgt, px_p, py_p, roff, rowbase, coff, f_src, flow)
+        f_tgt_, px_, py_, ws_, _ro, _rb, _co, f_src_, _flow = ops
+        out_w, _ = _bilinear_zero_pad(f_src_, px_[:, :h, :w],
+                                      py_[:, :h, :w])
+        mask = (ws_[:, :h, :w] >= mask_thr).astype(jnp.float32)
+        warped = (out_w * mask[..., None]).astype(f_src_.dtype)
+        ft = f_tgt_
+        if norm_kw is not None:
+            ft, warped = normalize_features((ft, warped), **norm_kw)
+        out = correlation_xla(ft, warped, max_displacement=disp)
+        if leaky_slope is not None:
+            out = jax.nn.leaky_relu(out, negative_slope=leaky_slope)
+        return out.astype(jnp.float32)
+
+    ops = (f_tgt, px_p, py_p, ws_p, roff, rowbase, coff, f_src, flow)
     if force == "fast":
         return fast(ops)
     if force == "slow":

@@ -308,17 +308,47 @@ def flow_warp_pallas_window_planar(planes, flow_u, flow_v,
     axon relay): adversarial uniform flows resident 13.6 ms vs blocks
     14.4 ms per 2-plane warp; the gap comes from smooth flows (the real
     SGU regime) where the support-pruning collapses the candidate set.
+
+    The resident core pins the whole zero-padded planes in VMEM and is
+    gated by a trace-time byte budget (frames much larger than KITTI —
+    e.g. 1080p needs ~22 MB of planes — would fail Mosaic compilation
+    even inside an untaken ``lax.cond`` branch); oversized frames use
+    the blocks core automatically.
     """
     import os
 
-    if os.environ.get("UPFLOW_WINDOW_WARP", "resident") == "blocks":
-        h, w = planes[0].shape[1:3]
-        img_chw = jnp.stack([p.astype(jnp.float32) for p in planes], axis=1)
-        flow_t = jnp.stack([flow_u.astype(jnp.float32),
-                            flow_v.astype(jnp.float32)], axis=1)
-        out = _window_warp_chw(img_chw, flow_t, r_y, r_x)
-        return tuple(out[:, c, :h, :w] for c in range(len(planes)))
-    return _window_warp_resident(planes, flow_u, flow_v, r_y, r_x)
+    core = os.environ.get("UPFLOW_WINDOW_WARP", "resident")
+    if core not in ("resident", "blocks"):
+        raise ValueError(
+            "UPFLOW_WINDOW_WARP must be 'resident' or 'blocks', got %r"
+            % core)
+    if core == "resident" and _resident_planes_fit(
+            planes[0].shape, len(planes), r_y):
+        return _window_warp_resident(planes, flow_u, flow_v, r_y, r_x)
+    h, w = planes[0].shape[1:3]
+    img_chw = jnp.stack([p.astype(jnp.float32) for p in planes], axis=1)
+    flow_t = jnp.stack([flow_u.astype(jnp.float32),
+                        flow_v.astype(jnp.float32)], axis=1)
+    out = _window_warp_chw(img_chw, flow_t, r_y, r_x)
+    return tuple(out[:, c, :h, :w] for c in range(len(planes)))
+
+
+def _resident_planes_fit(plane_shape, n_ch: int, r_y: int,
+                         budget: int = 12 * 1024 * 1024) -> bool:
+    """Trace-time VMEM gate for the resident window-warp core: the
+    whole-plane BlockSpecs plus the per-tile flow/out/scratch blocks must
+    fit scoped VMEM (~16 MB) with headroom for double-buffering."""
+    _, h, w = plane_shape
+    off_y = _SUB * (-(-(r_y + 1) // _SUB))
+    yb = -(-(_SUB + r_y + 2 + off_y) // _SUB)
+    hp = -(-h // _SUB) * _SUB
+    wp = -(-w // _LANE) * _LANE
+    hpad = h + off_y + (yb * _SUB - off_y + hp - h)
+    wpad = w + _LANE + (2 * _LANE + wp - w)
+    planes_bytes = n_ch * hpad * wpad * 4
+    tiles_bytes = (3 + n_ch) * 2 * _SUB * _LANE * 4  # fu, fv, outs (dbl-buf)
+    scratch = n_ch * _SUB * _LANE * 4
+    return planes_bytes + tiles_bytes + scratch <= budget
 
 
 def _window_warp_chw(img_chw: jax.Array, flow_chw: jax.Array,

@@ -500,8 +500,14 @@ def sgu_blend(flow_init: jax.Array, inter_flow: jax.Array,
     Larger refinements take the exact XLA gather inside the same cond.
     Gradients route through the XLA formulation via custom VJP (Pallas
     kernels are not auto-differentiable).
+
+    UPFLOW_SGU_TIER=xla (trace time) pins the exact-XLA tier for BOTH
+    this blend and the final SGU stage — the honest way to time the
+    forced-fallback regime on real weights (bench.py; replaces the
+    round-3/4 head-scale weight-inflation surrogate).
     """
-    if not _pallas_warp_enabled(flow_init):
+    if (not _pallas_warp_enabled(flow_init)
+            or os.environ.get("UPFLOW_SGU_TIER") == "xla"):
         return (flow_warp(flow_init, inter_flow) * (1 - inter_mask)
                 + flow_init * inter_mask)
     return _sgu_blend_tpu(flow_init, inter_flow, inter_mask)
@@ -547,6 +553,24 @@ def _analytic_wsum(x_shape, px, py):
 MASK_THRESHOLD = 1.0
 
 
+def mask_threshold() -> float:
+    """Trace-time warp-mask threshold.
+
+    Default: the reference-faithful chaotic ``MASK_THRESHOLD`` (1.0).
+    ``UPFLOW_ROBUST_MASK=1`` backs it off 3 fp32 ulps so pixels with full
+    in-bounds bilinear support are deterministically valid: the model
+    then stops amplifying 1-ulp numeric differences into ~0.1 px flow
+    deltas (measured chaos floor at KITTI bench config: 0.128 px mean
+    from a 1-ulp input perturbation; 2e-5 px with this knob —
+    docs/STATUS_ROUND5.md).  Production deployments that need
+    reproducible outputs across compiler versions / batch sizes should
+    set it; parity comparisons against torch keep the default.
+    """
+    if os.environ.get("UPFLOW_ROBUST_MASK"):
+        return 1.0 - 3.0 * 2.0 ** -23
+    return MASK_THRESHOLD
+
+
 def flow_warp_with_mask(x: jax.Array, flow: jax.Array):
     """``WarpingLayer_no_div``: masked warp.  Returns (warped*mask, mask).
 
@@ -559,7 +583,7 @@ def flow_warp_with_mask(x: jax.Array, flow: jax.Array):
         wsum = _analytic_wsum(x.shape, px, py)
     else:
         out, wsum = _bilinear_zero_pad(x, px, py)
-    mask = (wsum >= MASK_THRESHOLD).astype(jnp.float32)
+    mask = (wsum >= mask_threshold()).astype(jnp.float32)
     return (out * mask[..., None]).astype(x.dtype), mask
 
 
@@ -587,7 +611,7 @@ def flow_warp_masked(x: jax.Array, flow: jax.Array) -> jax.Array:
     if _feature_warp_enabled(x):
         from upflow_pytorch_tpu.ops.pallas.feature_warp import (
             feature_warp_masked_fast)
-        return feature_warp_masked_fast(x, flow, MASK_THRESHOLD)
+        return feature_warp_masked_fast(x, flow, mask_threshold())
     out, _ = flow_warp_with_mask(x, flow)
     return out
 
