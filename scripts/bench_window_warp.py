@@ -58,14 +58,29 @@ def main():
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--ry", type=int, default=40)
     ap.add_argument("--rx", type=int, default=120)
+    ap.add_argument("--smooth", action="store_true",
+                    help="sinusoidal flows (the model regime: bilinear-"
+                         "upsampled inter-flows are spatially smooth) "
+                         "instead of adversarial uniform-random")
     a = ap.parse_args()
 
     rng = np.random.default_rng(0)
     shape = (a.b, a.h, a.w)
     planes = tuple(jnp.asarray(rng.normal(size=shape), jnp.float32)
                    for _ in range(2))
-    fu = jnp.asarray(rng.uniform(-(a.rx - 1), a.rx - 1, shape), jnp.float32)
-    fv = jnp.asarray(rng.uniform(-(a.ry - 1), a.ry - 1, shape), jnp.float32)
+    if a.smooth:
+        ys = np.arange(a.h)[None, :, None] / a.h
+        xs = np.arange(a.w)[None, None, :] / a.w
+        fu = ((a.rx - 1) * np.sin(2 * np.pi * (xs + 0.3 * ys))
+              * np.ones(shape)).astype(np.float32)
+        fv = ((a.ry - 1) * np.cos(2 * np.pi * (ys + 0.2 * xs))
+              * np.ones(shape)).astype(np.float32)
+        fu, fv = jnp.asarray(fu), jnp.asarray(fv)
+    else:
+        fu = jnp.asarray(rng.uniform(-(a.rx - 1), a.rx - 1, shape),
+                         jnp.float32)
+        fv = jnp.asarray(rng.uniform(-(a.ry - 1), a.ry - 1, shape),
+                         jnp.float32)
 
     from upflow_pytorch_tpu.ops.pallas import warp as W
 

@@ -142,6 +142,36 @@ def test_full_model_spatial_sharded_eval():
     assert not pallas_gate.pallas_disabled()  # scope restored post-trace
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_train_step_gates_pallas_on_multidevice(monkeypatch):
+    """VERDICT r4 item 7: a >1-device mesh must never trace an unproven
+    batch-sharded pallas_call — make_sharded_train_step wraps tracing in
+    disable_pallas(), so every dispatch predicate consulted during the
+    trace sees the gate closed."""
+    from upflow_pytorch_tpu.ops import pallas_gate
+
+    seen = []
+    real = pallas_gate.pallas_disabled
+
+    def spy():
+        v = real()
+        seen.append(v)
+        return v
+
+    monkeypatch.setattr(pallas_gate, "pallas_disabled", spy)
+
+    mesh = make_mesh(data=8)
+    model, state, tx = create_train_state(CONF, TrainerConfig())
+    step = make_sharded_train_step(model, tx, mesh)
+    s_state = replicate(mesh, state)
+    s_batch = shard_batch(mesh, make_batch(8))
+    seen.clear()  # drop predicate calls from model-init tracing above
+    _, metrics = step(s_state, s_batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert seen and all(seen)  # every predicate saw the gate closed
+    assert not real()  # scope restored after tracing
+
+
 def test_pallas_gate_context():
     from upflow_pytorch_tpu.ops import pallas_gate
     from upflow_pytorch_tpu.ops.warp import _pallas_warp_enabled

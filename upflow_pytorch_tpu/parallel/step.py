@@ -17,8 +17,23 @@ from upflow_pytorch_tpu.train.step import make_train_step
 
 
 def make_sharded_train_step(model: UPFlowNet, tx, mesh: Mesh, **step_kwargs):
-    """Jitted train step: state replicated, batch sharded over 'data'."""
-    step = make_train_step(model, tx, **step_kwargs)
+    """Jitted train step: state replicated, batch sharded over 'data'.
+
+    Pallas fast paths are force-disabled at trace time whenever the mesh
+    spans more than one device (mirroring the eval-side spatial gate
+    below): a batch-sharded ``pallas_call`` under GSPMD is unproven on a
+    real multi-chip mesh, and the XLA formulations partition exactly.
+    Single-device meshes keep the fused kernels.
+    """
+    from upflow_pytorch_tpu.ops.pallas_gate import disable_pallas
+
+    base_step = make_train_step(model, tx, **step_kwargs)
+    if mesh.size > 1:
+        def step(state, batch):
+            with disable_pallas():
+                return base_step(state, batch)
+    else:
+        step = base_step
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
     return jax.jit(step,
